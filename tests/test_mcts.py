@@ -1,0 +1,191 @@
+"""Batched MCTS validation.
+
+1. Edge-for-edge parity with a straightforward recursive python MCTS
+   (tests/mcts_ref.py) implementing the documented reference semantics
+   (``/root/reference/src/mcts.jl:180-226``), using an exact-arithmetic
+   deterministic oracle so that visit counts must match exactly.
+2. Behavioral checks: tactical correctness (win/block detection) and
+   vanilla-MCTS strength vs a random player (the spirit of
+   ``/root/reference/test/mcts_vs_minmax.jl``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_tpu import envs
+from alphazero_tpu.envs import core
+from alphazero_tpu.search import mcts
+from tests.mcts_ref import PyMCTS, PyTTT
+
+TTT = envs.registry()["tictactoe"]
+
+
+def exact_oracle_jax(states, obs, mask):
+    """Uniform prior over legal; V = (#white - #black)/10.
+
+    Every quantity is computed by the same exact f32 ops as the numpy twin
+    below, so PUCT scores are bit-identical between implementations.
+    """
+    del obs
+    p = mask.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1.0)
+    diff = (jnp.sum(states.board == 1, axis=(-1,)) -
+            jnp.sum(states.board == 2, axis=(-1,))).astype(jnp.float32)
+    v_white = diff / 10.0
+    white = states.player == core.WHITE
+    return p, jnp.where(white, v_white, -v_white)
+
+
+def exact_oracle_py(game: PyTTT):
+    legal = game.legal()
+    p = legal.astype(np.float32)
+    p = p / np.float32(max(p.sum(), 1.0))
+    diff = np.float32((game.board == 1).sum() - (game.board == 2).sum())
+    v_white = diff / np.float32(10.0)
+    return p, v_white if game.player == 0 else -v_white
+
+
+def make_jax_roots(py_games):
+    states = []
+    for g in py_games:
+        states.append(TTT.init()._replace(
+            board=jnp.asarray(g.board),
+            player=jnp.asarray(g.player, jnp.int32),
+            done=jnp.asarray(g.terminal()),
+            rew=jnp.asarray(g.rew, jnp.float32)))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+@pytest.mark.parametrize("gamma", [1.0, 0.9])
+def test_parity_with_python_mcts(gamma):
+    cfg = mcts.MCTSConfig(num_sims=100, cpuct=1.0, gamma=gamma,
+                          dirichlet_eps=0.0)
+    g_empty = PyTTT()
+    g_mid = PyTTT().step(4).step(0).step(8)  # some mid-game position
+    g_late = PyTTT().step(0).step(3).step(1).step(4)  # white threatens 0-1-2
+    roots = make_jax_roots([g_empty, g_mid, g_late])
+    res = jax.jit(
+        lambda r, k: mcts.search(TTT, exact_oracle_jax, r, k, cfg)
+    )(roots, jax.random.key(0))
+    got_visits = np.asarray(res.root_visits)
+    got_q = np.asarray(res.root_q)
+    for i, g in enumerate([g_empty, g_mid, g_late]):
+        ref = PyMCTS(g, exact_oracle_py, cfg.num_sims, cpuct=cfg.cpuct,
+                     gamma=gamma)
+        ref.run()
+        np.testing.assert_array_equal(
+            got_visits[i], ref.root.N,
+            err_msg=f"visit counts diverge on root {i}")
+        refq = ref.root.W / np.maximum(ref.root.N, 1)
+        np.testing.assert_allclose(got_q[i], refq, atol=1e-5)
+
+
+def test_finds_winning_and_blocking_moves():
+    # white to play with two in a row -> must win at cell 2
+    g_win = PyTTT().step(0).step(3).step(1).step(4)
+    # black to play, white threatens 0-1-2 -> must block at 2
+    g_block = PyTTT().step(0).step(3).step(1)
+    roots = make_jax_roots([g_win, g_block])
+    cfg = mcts.MCTSConfig(num_sims=200, cpuct=1.0)
+    res = jax.jit(
+        lambda r, k: mcts.search(TTT, exact_oracle_jax, r, k, cfg)
+    )(roots, jax.random.key(1))
+    pol = np.asarray(res.policy)
+    assert pol[0].argmax() == 2, pol[0]
+    assert pol[1].argmax() == 2, pol[1]
+    # winning root should have strongly positive value estimate
+    assert np.asarray(res.root_q)[0, 2] > 0.9
+
+
+def test_dirichlet_noise_spreads_exploration():
+    roots = make_jax_roots([PyTTT()])
+    run = lambda eps, key: jax.jit(
+        lambda r, k: mcts.search(
+            TTT, exact_oracle_jax, r, k,
+            mcts.MCTSConfig(num_sims=60, dirichlet_eps=eps,
+                            dirichlet_alpha=0.5))
+    )(roots, key)
+    # with eps=1 the root prior is pure noise: different keys must give
+    # different visit profiles, while eps=0 is deterministic
+    v1 = np.asarray(run(1.0, jax.random.key(0)).root_visits)
+    v2 = np.asarray(run(1.0, jax.random.key(7)).root_visits)
+    d1 = np.asarray(run(0.0, jax.random.key(0)).root_visits)
+    d2 = np.asarray(run(0.0, jax.random.key(7)).root_visits)
+    assert (v1 != v2).any()
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_terminal_root_is_safe():
+    g = PyTTT().step(0).step(3).step(1).step(4).step(2)  # white won
+    assert g.terminal()
+    roots = make_jax_roots([g])
+    cfg = mcts.MCTSConfig(num_sims=16)
+    res = jax.jit(
+        lambda r, k: mcts.search(TTT, exact_oracle_jax, r, k, cfg)
+    )(roots, jax.random.key(0))
+    assert np.asarray(res.root_visits).sum() == 0
+
+
+def test_prior_temperature():
+    """prior_temperature=0 collapses the prior onto the best prior action."""
+    def skew_oracle(states, obs, mask):
+        p = mask.astype(jnp.float32) * jnp.arange(1.0, 10.0)
+        p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-9)
+        return p, jnp.zeros(p.shape[:1], jnp.float32)
+
+    roots = make_jax_roots([PyTTT()])
+    cfg = mcts.MCTSConfig(num_sims=50, prior_temperature=0.05, cpuct=4.0)
+    res = jax.jit(
+        lambda r, k: mcts.search(TTT, skew_oracle, r, k, cfg)
+    )(roots, jax.random.key(0))
+    # nearly all visits should go to action 8 (highest prior)
+    v = np.asarray(res.root_visits)[0]
+    assert v[8] > 0.7 * v.sum()
+
+
+@pytest.mark.slow
+def test_vanilla_mcts_beats_random():
+    """Rollout-oracle MCTS (vanilla MCTS) crushes a uniform-random player.
+
+    Spirit of ``/root/reference/test/mcts_vs_minmax.jl`` at reduced size.
+    """
+    B = 32
+    cfg = mcts.MCTSConfig(num_sims=64, cpuct=1.0)
+    oracle = mcts.rollout_oracle(TTT)
+
+    @jax.jit
+    def play_match(key, mcts_is_white):
+        def body(carry, key):
+            states = carry
+            done = jax.vmap(TTT.terminated)(states)
+            to_play = jax.vmap(TTT.to_play)(states)
+            k1, k2, k3 = jax.random.split(key, 3)
+            res = mcts.search(TTT, oracle, states, k1, cfg)
+            mcts_turn = (to_play == 0) == mcts_is_white
+            legal = jax.vmap(TTT.legal_mask)(states).astype(jnp.float32)
+            rand_pi = legal / jnp.maximum(legal.sum(-1, keepdims=True), 1.0)
+            pi = jnp.where(mcts_turn[:, None], res.policy, rand_pi)
+            greedy = jax.nn.one_hot(jnp.argmax(pi, -1), 9)
+            pi = jnp.where(mcts_turn[:, None], greedy, pi)  # greedy for MCTS
+            a = jax.vmap(core.sample_from)(pi, jax.random.split(k2, B))
+            s2 = jax.vmap(TTT.step)(states, a, jax.random.split(k3, B))
+            s2 = jax.tree.map(
+                lambda new, old: jnp.where(
+                    done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
+                s2, states)
+            rew = jnp.where(done, 0.0, jax.vmap(TTT.reward)(s2))
+            return s2, rew
+
+        s0 = TTT.init_batch(B)
+        _, rews = jax.lax.scan(body, s0, jax.random.split(key, 9))
+        total_white = rews.sum(0)
+        return jnp.where(mcts_is_white, total_white, -total_white)
+
+    r_as_white = np.asarray(play_match(jax.random.key(0), True))
+    r_as_black = np.asarray(play_match(jax.random.key(1), False))
+    avg = np.concatenate([r_as_white, r_as_black]).mean()
+    assert avg > 0.5, f"vanilla MCTS too weak vs random: avg reward {avg}"
