@@ -1,0 +1,319 @@
+"""Jitted game evaluation: duels, arena gating, benchmark players.
+
+Re-design of the reference's evaluation machinery:
+
+* ``Benchmark.Player`` specs (``src/benchmark.jl:126-194``) become small
+  frozen dataclasses whose ``make_think`` builds a jittable batched policy
+  function ``(net, states, turn, rng) -> pi_sample``.
+* ``pit_networks`` / ``Benchmark.run``'s async duel simulation
+  (``src/training.jl:130-143``, ``src/benchmark.jl:78-99``) becomes one
+  jitted program playing ``num_lanes`` games in lockstep; the reference's
+  two-network inference server (``src/simulations.jl:70-99``) is replaced by
+  evaluating both policy functions each turn and selecting per lane by
+  who-is-to-move.
+* Color alternation flips the contender's color on odd lanes
+  (``src/simulations.jl:223-230``) and rewards are reported from the
+  contender's POV (``src/simulations.jl:297-307``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as cfgmod
+from . import memory as memmod
+from .envs import core as envcore
+from .envs.core import Game
+from .minmax import MinMaxPlayer
+from .models.interface import NetState, Network, NetworkSpec
+from .search import mcts
+from .utils.schedules import ConstSchedule
+
+
+def mcts_config(p: cfgmod.MctsParams) -> mcts.MCTSConfig:
+    return mcts.MCTSConfig(
+        num_sims=p.num_iters_per_turn,
+        gamma=p.gamma,
+        cpuct=p.cpuct,
+        dirichlet_eps=p.dirichlet_noise_eps,
+        dirichlet_alpha=p.dirichlet_noise_alpha,
+        prior_temperature=p.prior_temperature,
+    )
+
+
+class PlayerSpec:
+    """A declarative player: builds a batched think function.
+
+    ``make_think(game, netspec)`` returns ``(think, uses_network)`` where
+    ``think(net, states, turn, rng) -> pi_sample`` is jit-compatible.
+    """
+
+    def make_think(self, game: Game, netspec: Optional[NetworkSpec]):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class Full(PlayerSpec):
+    """Full AlphaZero player: net + MCTS (``Benchmark.Full``,
+    ``src/benchmark.jl:167-176``)."""
+
+    mcts: cfgmod.MctsParams
+
+    def make_think(self, game, netspec):
+        network = Network(game, netspec)
+        cfg = mcts_config(self.mcts)
+
+        def think(net, states, turn, rng):
+            def oracle(sts, obs, mask):
+                p, _, v, _ = network.forward_normalized(net, obs, mask)
+                return p, v
+            res = mcts.search(game, oracle, states, rng, cfg)
+            return envcore.apply_temperature(
+                res.policy, self.mcts.temperature(turn))
+
+        return think, True
+
+
+@dataclasses.dataclass(frozen=True)
+class NetworkOnly(PlayerSpec):
+    """Raw network policy (``Benchmark.NetworkOnly``,
+    ``src/benchmark.jl:177-182`` + ``PlayerWithTemperature``)."""
+
+    tau: float = 1.0
+
+    def make_think(self, game, netspec):
+        network = Network(game, netspec)
+
+        def think(net, states, turn, rng):
+            obs = jax.vmap(game.observe)(states)
+            mask = jax.vmap(game.legal_mask)(states)
+            p, _, _, _ = network.forward_normalized(net, obs, mask)
+            return envcore.apply_temperature(p, self.tau)
+
+        return think, True
+
+
+@dataclasses.dataclass(frozen=True)
+class MctsRollouts(PlayerSpec):
+    """Vanilla MCTS with random rollouts (``Benchmark.MctsRollouts``,
+    ``src/benchmark.jl:156-166``)."""
+
+    mcts: cfgmod.MctsParams
+
+    def make_think(self, game, netspec):
+        cfg = mcts_config(self.mcts)
+        oracle = mcts.rollout_oracle(game, gamma=self.mcts.gamma)
+
+        def think(net, states, turn, rng):
+            res = mcts.search(game, oracle, states, rng, cfg)
+            return envcore.apply_temperature(
+                res.policy, self.mcts.temperature(turn))
+
+        return think, False
+
+
+@dataclasses.dataclass(frozen=True)
+class MinMaxTS(PlayerSpec):
+    """Minmax tree search (``Benchmark.MinMaxTS``, ``src/benchmark.jl:183-194``)."""
+
+    depth: int
+    amplify_rewards: bool = True
+    tau: float = 0.0
+
+    def make_think(self, game, netspec):
+        player = MinMaxPlayer(depth=self.depth,
+                              amplify_rewards=self.amplify_rewards,
+                              tau=self.tau)
+
+        def think(net, states, turn, rng):
+            return player.think(game, states)
+
+        return think, False
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomPlayerSpec(PlayerSpec):
+    """Uniform random player (``src/play.jl:59-71``)."""
+
+    def make_think(self, game, netspec):
+        def think(net, states, turn, rng):
+            mask = jax.vmap(game.legal_mask)(states)
+            p = mask.astype(jnp.float32)
+            return p / jnp.maximum(p.sum(-1, keepdims=True), 1.0)
+
+        return think, False
+
+
+@dataclasses.dataclass(frozen=True)
+class Duel:
+    """Two-player benchmark evaluation spec (``Benchmark.Duel``,
+    ``src/benchmark.jl:47-62``): ``player`` (instantiated with the current
+    net) vs ``baseline``."""
+
+    player: PlayerSpec
+    baseline: PlayerSpec
+    sim: cfgmod.SimParams
+
+
+@dataclasses.dataclass(frozen=True)
+class Single:
+    """One-player benchmark evaluation spec (``Benchmark.Single``,
+    ``src/benchmark.jl:47-56``)."""
+
+    player: PlayerSpec
+    sim: cfgmod.SimParams
+
+
+def player_name(spec: PlayerSpec) -> str:
+    """Display names (``src/benchmark.jl:134-194`` ``name`` methods)."""
+    return {
+        Full: "AlphaZero",
+        NetworkOnly: "Network Only",
+        MctsRollouts: "MCTS",
+        MinMaxTS: "MinMax",
+        RandomPlayerSpec: "Random",
+    }.get(type(spec), type(spec).__name__)
+
+
+class DuelResult(NamedTuple):
+    rewards: jnp.ndarray      # f32 [B] discounted reward, player-A POV
+    redundancy: jnp.ndarray   # f32 [] duplicate-state fraction
+    num_moves: jnp.ndarray    # i32 [B]
+
+
+@functools.lru_cache(maxsize=128)
+def _duel_program(game: Game, netspec: Optional[NetworkSpec],
+                  spec_a: PlayerSpec, spec_b: Optional[PlayerSpec],
+                  num_lanes: int, alternate_colors: bool,
+                  flip_probability: float, gamma: float):
+    """Compile a program playing ``num_lanes`` games of spec_a vs spec_b.
+
+    For one-player games (or ``spec_b is None``) player A makes every move.
+    """
+    think_a, _ = spec_a.make_think(game, netspec)
+    think_b, _ = (spec_b.make_think(game, netspec) if spec_b is not None
+                  else (None, False))
+    B = num_lanes
+    L = game.max_game_length
+    if alternate_colors:
+        a_is_white = (jnp.arange(B) % 2) == 0  # src/simulations.jl:223-230
+    else:
+        a_is_white = jnp.ones((B,), bool)
+
+    @jax.jit
+    def run(net_a, net_b, rng):
+        s0 = game.init_batch(B)
+
+        def move(carry, inp):
+            s, disc, total = carry
+            turn, key = inp
+            k_flip, k_a, k_b, k_act, k_step = jax.random.split(key, 5)
+            done = jax.vmap(game.terminated)(s)
+            if flip_probability > 0 and game.random_symmetry is not None:
+                do_flip = jax.random.bernoulli(
+                    k_flip, flip_probability, (B,)) & ~done
+                flipped = jax.vmap(game.random_symmetry)(
+                    s, jax.random.split(k_flip, B))
+                s = jax.tree.map(
+                    lambda f, o: jnp.where(
+                        do_flip.reshape((-1,) + (1,) * (f.ndim - 1)), f, o),
+                    flipped, s)
+            pi_a = think_a(net_a, s, turn, k_a)
+            if think_b is None:
+                pi = pi_a
+            else:
+                pi_b = think_b(net_b, s, turn, k_b)
+                white_to_play = jax.vmap(game.to_play)(s) == envcore.WHITE
+                a_to_move = white_to_play == a_is_white
+                pi = jnp.where(a_to_move[:, None], pi_a, pi_b)
+            a = jax.vmap(envcore.sample_from)(
+                pi, jax.random.split(k_act, B))
+            s2 = jax.vmap(game.step)(s, a, jax.random.split(k_step, B))
+            s2 = jax.tree.map(
+                lambda new, old: jnp.where(
+                    done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
+                s2, s)
+            r = jnp.where(done, 0.0, jax.vmap(game.reward)(s2))
+            total = total + disc * r
+            disc = jnp.where(done, disc, disc * gamma)
+            keys_now = jax.vmap(game.canonical_key)(s)
+            return (s2, disc, total), (keys_now, ~done)
+
+        (sf, _, wr), (state_keys, valid) = jax.lax.scan(
+            move, (s0, jnp.ones((B,)), jnp.zeros((B,))),
+            (jnp.arange(L), jax.random.split(rng, L)))
+        rewards_a = jnp.where(a_is_white, wr, -wr)
+        redundancy = _redundancy(state_keys.reshape(L * B, -1),
+                                 valid.reshape(L * B))
+        return DuelResult(rewards=rewards_a, redundancy=redundancy,
+                          num_moves=jnp.sum(valid.astype(jnp.int32), 0))
+
+    return run
+
+
+def _redundancy(keys, valid):
+    """1 - |unique| / |total| over visited states
+    (``src/simulations.jl:292-295``)."""
+    cols = [(~valid).astype(jnp.int32)] + [keys[:, i]
+                                           for i in range(keys.shape[1])]
+    perm = memmod._lexsort(cols)
+    pk = keys[perm]
+    pv = valid[perm]
+    boundary = jnp.concatenate([
+        jnp.ones((1,), bool), jnp.any(pk[1:] != pk[:-1], axis=-1)])
+    unique = jnp.sum((boundary & pv).astype(jnp.float32))
+    total = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return 1.0 - unique / total
+
+
+def run_benchmark_item(game: Game, netspec: Optional[NetworkSpec],
+                       net: NetState, item, rng, gamma: float = 1.0):
+    """Run one benchmark evaluation (``Benchmark.run``,
+    ``src/benchmark.jl:78-99``).  Returns a ``Report.Evaluation``."""
+    import time as _time
+
+    from . import report as R
+    t0 = _time.perf_counter()
+    if isinstance(item, Single):
+        res = play_duel(game, netspec, item.player, None, item.sim,
+                        net, net, rng, gamma=gamma)
+        legend = player_name(item.player)
+    else:
+        res = play_duel(game, netspec, item.player, item.baseline, item.sim,
+                        net, net, rng, gamma=gamma)
+        legend = f"{player_name(item.player)} vs {player_name(item.baseline)}"
+    rewards = np.asarray(res.rewards)
+    return R.Evaluation(
+        legend=legend, avgr=float(rewards.mean()),
+        redundancy=float(res.redundancy),
+        rewards=list(map(float, rewards)), baseline_rewards=None,
+        time=_time.perf_counter() - t0)
+
+
+def ternary_stats(rewards) -> Tuple[int, int, int]:
+    """(won, draw, lost) counts (``src/benchmark.jl:105-121``)."""
+    r = np.asarray(rewards)
+    return int((r > 0).sum()), int((r == 0).sum()), int((r < 0).sum())
+
+
+def play_duel(game: Game, netspec: Optional[NetworkSpec], spec_a: PlayerSpec,
+              spec_b: Optional[PlayerSpec], sim: cfgmod.SimParams,
+              net_a, net_b, rng, gamma: float = 1.0) -> DuelResult:
+    """Play ``sim.num_games`` games (rounded up to lane multiples), A vs B."""
+    prog = _duel_program(game, netspec, spec_a, spec_b, sim.num_lanes,
+                         sim.alternate_colors, sim.flip_probability, gamma)
+    outs = []
+    for r in range(sim.num_rounds):
+        rng, sub = jax.random.split(rng)
+        outs.append(prog(net_a, net_b, sub))
+    return DuelResult(
+        rewards=jnp.concatenate([o.rewards for o in outs]),
+        redundancy=jnp.mean(jnp.stack([o.redundancy for o in outs])),
+        num_moves=jnp.concatenate([o.num_moves for o in outs]),
+    )

@@ -1,0 +1,66 @@
+"""Connect-four flagship experiment config.
+
+Mirrors ``/root/reference/games/connect-four/params.jl``: ResNet 5x128,
+600-sim MCTS, 5000 self-play games/iter, replay 400K -> 1M, Adam 2e-3,
+128-game gating arena at threshold 0.05, benchmark duels vs
+MctsRollouts(1000) and MinMax(depth 5).
+"""
+
+from __future__ import annotations
+
+from .. import arena as A
+from ..config import (ArenaParams, LearningParams, MctsParams, Params,
+                      SelfPlayParams, SimParams)
+from ..envs import registry as game_registry
+from ..models import Adam, ResNetSpec
+from ..utils.schedules import ConstSchedule, PLSchedule
+from . import Experiment
+
+
+def experiment(num_lanes: int = 1024) -> Experiment:
+    game = game_registry()["connect-four"]
+    netspec = ResNetSpec(
+        num_filters=128, num_blocks=5, conv_kernel_size=(3, 3),
+        num_policy_head_filters=32, num_value_head_filters=32,
+        batch_norm_momentum=0.1)
+    self_play = SelfPlayParams(
+        sim=SimParams(num_games=5000, num_lanes=num_lanes),
+        mcts=MctsParams(
+            num_iters_per_turn=600, cpuct=2.0, prior_temperature=1.0,
+            temperature=PLSchedule([0, 20, 30], [1.0, 1.0, 0.3]),
+            dirichlet_noise_eps=0.25, dirichlet_noise_alpha=1.0))
+    arena = ArenaParams(
+        sim=SimParams(num_games=128, num_lanes=128, flip_probability=0.5,
+                      alternate_colors=True),
+        mcts=self_play.mcts.replace(
+            temperature=ConstSchedule(0.2), dirichlet_noise_eps=0.05),
+        update_threshold=0.05)
+    learning = LearningParams(
+        samples_weighing_policy="LOG_WEIGHT",
+        use_position_averaging=True,
+        l2_regularization=1e-4,
+        optimiser=Adam(lr=2e-3),
+        batch_size=1024, loss_computation_batch_size=1024,
+        nonvalidity_penalty=1.0,
+        min_checkpoints_per_epoch=1,
+        max_batches_per_checkpoint=2000,
+        num_checkpoints=1)
+    params = Params(
+        arena=arena, self_play=self_play, learning=learning,
+        num_iters=15, ternary_outcome=True, use_symmetries=True,
+        mem_buffer_size=PLSchedule([0, 15], [400_000, 1_000_000]),
+        mem_buffer_granularity=50_000)
+    benchmark_sim = SimParams(num_games=256, num_lanes=256,
+                              flip_probability=0.5, alternate_colors=True)
+    mcts_baseline = A.MctsRollouts(
+        arena.mcts.replace(num_iters_per_turn=1000, cpuct=1.0))
+    minmax_baseline = A.MinMaxTS(depth=5, amplify_rewards=True, tau=0.2)
+    alphazero_player = A.Full(arena.mcts)
+    network_player = A.NetworkOnly(tau=0.5)
+    benchmark = (
+        A.Duel(alphazero_player, mcts_baseline, benchmark_sim),
+        A.Duel(alphazero_player, minmax_baseline, benchmark_sim),
+        A.Duel(network_player, mcts_baseline, benchmark_sim),
+        A.Duel(network_player, minmax_baseline, benchmark_sim),
+    )
+    return Experiment("connect-four", game, params, netspec, benchmark)

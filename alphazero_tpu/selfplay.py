@@ -1,0 +1,139 @@
+"""Jitted batched self-play.
+
+Re-design of the reference's episode machinery (``src/play.jl:298-315``,
+``src/simulations.jl:207-244``): instead of ``num_workers`` async tasks each
+playing one scalar game against an inference server, a single jitted program
+steps ``num_lanes`` games in lockstep — a ``scan`` over the (padded) game
+length whose body runs one full batched MCTS per move.  Finished lanes are
+frozen with masked no-ops.
+
+The trace → training-sample conversion (discounted returns with per-player
+sign flips, remaining-move counts; ``src/memory.jl:74-87``) happens inside
+the same jitted program with a reverse scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .envs import core as envcore
+from .envs.core import Game
+from .search import mcts
+from .utils.schedules import Schedule
+
+
+class TraceBatch(NamedTuple):
+    """Flattened self-play samples ready for ``memory.push``."""
+
+    states: Any           # pytree [M, ...] state before each recorded move
+    pi: jnp.ndarray       # f32 [M, A] MCTS visit policy (zeros on illegal)
+    z: jnp.ndarray        # f32 [M] discounted return, current-player POV
+    t: jnp.ndarray        # f32 [M] remaining moves until game end
+    key: jnp.ndarray      # i32 [M, K]
+    valid: jnp.ndarray    # bool [M]
+    white_reward: jnp.ndarray   # f32 [B] total white reward per game
+    num_moves: jnp.ndarray      # i32 [B] game lengths
+    nodes_traversed: jnp.ndarray  # i32 [] MCTS depth statistic
+    num_sims: jnp.ndarray         # i32 [] total simulations run
+
+
+def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
+                    temperature: Schedule, num_lanes: int, rng,
+                    flip_probability: float = 0.0,
+                    num_moves_cap: int = 0) -> TraceBatch:
+    """Play ``num_lanes`` full self-play games and emit training samples.
+
+    ``temperature`` is the per-turn action-selection schedule
+    (``src/params.jl:49-57``); ``flip_probability`` applies a random board
+    symmetry before each move (``src/play.jl:305-307``).
+    """
+    L = num_moves_cap or game.max_game_length
+    B = num_lanes
+
+    def move(carry, inp):
+        s, traversed, sims = carry
+        turn, key = inp
+        k_flip, k_search, k_act, k_step = jax.random.split(key, 4)
+        done = jax.vmap(game.terminated)(s)
+        if flip_probability > 0 and game.random_symmetry is not None:
+            do_flip = jax.random.bernoulli(
+                k_flip, flip_probability, (B,)) & ~done
+            flipped = jax.vmap(game.random_symmetry)(
+                s, jax.random.split(k_flip, B))
+            s = jax.tree.map(
+                lambda f, o: jnp.where(
+                    do_flip.reshape((-1,) + (1,) * (f.ndim - 1)), f, o),
+                flipped, s)
+        res = mcts.search(game, oracle, s, k_search, cfg)
+        tau = temperature(turn)
+        pi_sample = envcore.apply_temperature(res.policy, tau)
+        a = jax.vmap(envcore.sample_from)(
+            pi_sample, jax.random.split(k_act, B))
+        s2 = jax.vmap(game.step)(s, a, jax.random.split(k_step, B))
+        s2 = jax.tree.map(
+            lambda new, old: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
+            s2, s)
+        r = jnp.where(done, 0.0, jax.vmap(game.reward)(s2))
+        out = dict(
+            states=s,
+            pi=res.policy,
+            player=jax.vmap(game.to_play)(s),
+            r=r,
+            valid=~done,
+        )
+        traversed = traversed + res.nodes_traversed
+        sims = sims + jnp.sum((~done).astype(jnp.int32)) * cfg.num_sims
+        return (s2, traversed, sims), out
+
+    s0 = game.init_batch(B)
+    keys = jax.random.split(rng, L)
+    (sf, traversed, sims), tr = jax.lax.scan(
+        move, (s0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+        (jnp.arange(L), keys))
+
+    # discounted returns, walked backwards (``src/memory.jl:74-87``)
+    def disc(wr_next, r_t):
+        wr = r_t + cfg.gamma * wr_next
+        return wr, wr
+
+    _, wr = jax.lax.scan(disc, jnp.zeros((B,)), tr["r"], reverse=True)
+    z = jnp.where(tr["player"] == envcore.WHITE, wr, -wr)
+    num_moves = jnp.sum(tr["valid"].astype(jnp.int32), axis=0)  # [B]
+    t_remaining = (num_moves[None, :].astype(jnp.float32)
+                   - jnp.arange(L)[:, None].astype(jnp.float32))
+    flat_states = jax.tree.map(
+        lambda x: x.reshape((L * B,) + x.shape[2:]), tr["states"])
+    keys_flat = jax.vmap(game.canonical_key)(flat_states)
+    total_white = jnp.sum(tr["r"], axis=0)
+    return TraceBatch(
+        states=flat_states,
+        pi=tr["pi"].reshape(L * B, -1),
+        z=z.reshape(L * B),
+        t=t_remaining.reshape(L * B),
+        key=keys_flat,
+        valid=tr["valid"].reshape(L * B),
+        white_reward=total_white,
+        num_moves=num_moves,
+        nodes_traversed=traversed,
+        num_sims=sims,
+    )
+
+
+def tree_memory_footprint(game: Game, cfg: mcts.MCTSConfig,
+                          num_lanes: int) -> int:
+    """Bytes of the search-tree arrays — the analogue of
+    ``MCTS.approximate_memory_footprint`` (``src/mcts.jl:299-321``)."""
+    N = cfg.num_sims + 1
+    A = game.num_actions
+    B = num_lanes
+    state_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(game.init()))
+    per_lane = (N * state_bytes          # states
+                + N * (4 + 1 + 4 + 4)    # player/terminal/reward/value
+                + N * A * (4 + 1 + 4 + 4 + 4))  # prior/legal/visits/qsum/kids
+    return B * per_lane

@@ -1,0 +1,378 @@
+"""High-level training orchestration: the AlphaZero iteration loop.
+
+Re-design of ``/root/reference/src/training.jl``.  The host-side loop
+structure (iterate: self-play → memory report → learning with checkpoint
+arenas and gating) is preserved exactly, including the Handlers callback
+decoupling (``training.jl:48-94``) that lets the UI live in a separate layer.
+All heavy work inside each phase runs as cached jitted device programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import arena as arenamod
+from . import config as cfgmod
+from . import learning as learnmod
+from . import memory as memmod
+from . import report as R
+from . import selfplay as spmod
+from .envs.core import Game
+from .models.interface import NetState, Network, NetworkSpec
+from .search import mcts
+
+
+class Handlers:
+    """Training callbacks (``training.jl:48-94``).  Subclass and override."""
+
+    def iteration_started(self, env): pass
+    def self_play_started(self, env): pass
+    def game_played(self, env): pass
+    def self_play_finished(self, env, report): pass
+    def memory_analyzed(self, env, report): pass
+    def learning_started(self, env): pass
+    def updates_started(self, env, status): pass
+    def updates_finished(self, env, status): pass
+    def checkpoint_started(self, env): pass
+    def checkpoint_game_played(self, env): pass
+    def checkpoint_finished(self, env, report): pass
+    def learning_finished(self, env, report): pass
+    def iteration_finished(self, env, report): pass
+    def training_finished(self, env): pass
+
+
+@dataclasses.dataclass
+class AZEnv:
+    """The training environment (``Env``, ``training.jl:27-42``): current and
+    best network states, replay memory, iteration counter."""
+
+    game: Game
+    netspec: NetworkSpec
+    params: cfgmod.Params
+    curnn: NetState
+    bestnn: NetState
+    replay: memmod.Replay
+    itc: int = 0
+    rng: Any = None
+
+    @staticmethod
+    def create(game: Game, netspec: NetworkSpec, params: cfgmod.Params,
+               seed: int = 0) -> "AZEnv":
+        rng = jax.random.key(seed)
+        rng, init_key = jax.random.split(rng)
+        net = Network(game, netspec).init(init_key)
+        cap = _round_capacity(params, params.mem_buffer_size(0))
+        return AZEnv(game=game, netspec=netspec, params=params, curnn=net,
+                     bestnn=net, replay=memmod.init_replay(game, cap),
+                     rng=rng)
+
+    def next_key(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    @property
+    def network(self) -> Network:
+        return Network(self.game, self.netspec)
+
+
+def _round_capacity(params: cfgmod.Params, n: int) -> int:
+    g = max(1, params.mem_buffer_granularity)
+    return ((int(n) + g - 1) // g) * g
+
+
+def initial_report(env: AZEnv) -> R.Initial:
+    """(``training.jl:113-121``)"""
+    net = env.network
+    nparams = net.num_parameters(env.curnn)
+    errors, warnings = cfgmod.check_params(env.game, env.params)
+    sp = env.params.self_play
+    footprint = spmod.tree_memory_footprint(
+        env.game, arenamod.mcts_config(sp.mcts), sp.sim.num_lanes)
+    per_node = footprint // max(
+        sp.sim.num_lanes * (sp.mcts.num_iters_per_turn + 1), 1)
+    return R.Initial(
+        num_network_parameters=nparams,
+        num_network_regularized_parameters=nparams,
+        mcts_footprint_per_node=per_node,
+        errors=errors, warnings=warnings)
+
+
+# ---------------------------------------------------------------------------
+# Self-play phase
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _selfplay_program(game: Game, netspec: NetworkSpec,
+                      p: cfgmod.MctsParams, num_lanes: int,
+                      flip_probability: float):
+    network = Network(game, netspec)
+    cfg = arenamod.mcts_config(p)
+
+    @jax.jit
+    def run(net: NetState, rng):
+        def oracle(states, obs, mask):
+            pol, _, v, _ = network.forward_normalized(net, obs, mask)
+            return pol, v
+        return spmod.self_play_batch(
+            game, oracle, cfg, p.temperature, num_lanes, rng,
+            flip_probability=flip_probability)
+
+    return run
+
+
+def self_play_step(env: AZEnv, handlers: Handlers) -> R.SelfPlay:
+    """(``training.jl:275-300``)"""
+    p = env.params.self_play
+    handlers.self_play_started(env)
+    run = _selfplay_program(env.game, env.netspec, p.mcts, p.sim.num_lanes,
+                            p.sim.flip_probability)
+    env.replay = memmod.new_batch(env.replay)
+    t0 = time.perf_counter()
+    total_moves = 0
+    depth_sum, sims_sum = 0, 0
+    for _ in range(p.sim.num_rounds):
+        tb = run(env.bestnn, env.next_key())
+        env.replay = _push_program(env.game, env.replay.capacity)(
+            env.replay, tb)
+        total_moves += int(jnp.sum(tb.num_moves))
+        depth_sum += int(tb.nodes_traversed)
+        sims_sum += int(tb.num_sims)
+        handlers.game_played(env)
+    jax.block_until_ready(env.replay.ptr)
+    elapsed = time.perf_counter() - t0
+    report = R.SelfPlay(
+        samples_gen_speed=total_moves / max(elapsed, 1e-9),
+        average_exploration_depth=depth_sum / max(sims_sum, 1),
+        mcts_memory_footprint=spmod.tree_memory_footprint(
+            env.game, arenamod.mcts_config(p.mcts), p.sim.num_lanes),
+        memory_size=int(env.replay.size),
+        memory_num_distinct_boards=int(
+            memmod.num_distinct_boards(env.game, env.replay)),
+    )
+    handlers.self_play_finished(env, report)
+    return report
+
+
+@functools.lru_cache(maxsize=32)
+def _push_program(game: Game, capacity: int):
+    @jax.jit
+    def doit(replay: memmod.Replay, tb: spmod.TraceBatch):
+        return memmod.push(replay, tb.states, tb.pi, tb.z, tb.t, tb.key,
+                           tb.valid)
+    return doit
+
+
+# ---------------------------------------------------------------------------
+# Network comparison / gating
+# ---------------------------------------------------------------------------
+
+
+def compare_networks(env: AZEnv, contender: NetState, baseline: NetState,
+                     handlers: Handlers) -> R.Evaluation:
+    """Contender vs baseline under arena params (``training.jl:159-174``)."""
+    ap = env.params.arena
+    spec = arenamod.Full(ap.mcts)
+    t0 = time.perf_counter()
+    if env.game.two_players:
+        res = arenamod.play_duel(
+            env.game, env.netspec, spec, spec, ap.sim, contender, baseline,
+            env.next_key(), gamma=ap.mcts.gamma)
+        handlers.checkpoint_game_played(env)
+        rewards = np.asarray(res.rewards)
+        avgr = float(rewards.mean())
+        baseline_rewards = None
+        red = float(res.redundancy)
+    else:
+        res_c = arenamod.play_duel(
+            env.game, env.netspec, spec, None, ap.sim, contender, contender,
+            env.next_key(), gamma=ap.mcts.gamma)
+        res_b = arenamod.play_duel(
+            env.game, env.netspec, spec, None, ap.sim, baseline, baseline,
+            env.next_key(), gamma=ap.mcts.gamma)
+        rewards = np.asarray(res_c.rewards)
+        baseline_rewards = list(map(float, np.asarray(res_b.rewards)))
+        avgr = float(rewards.mean() - np.asarray(res_b.rewards).mean())
+        red = float((res_c.redundancy + res_b.redundancy) / 2)
+    return R.Evaluation(
+        legend="Most recent NN versus best NN so far",
+        avgr=avgr, redundancy=red,
+        rewards=list(map(float, rewards)),
+        baseline_rewards=baseline_rewards,
+        time=time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# Learning phase
+# ---------------------------------------------------------------------------
+
+
+def _dummy_learning_report() -> R.Learning:
+    """(``training.jl:186-191``)"""
+    eps = 1e-16
+    status = R.LearningStatus(R.Loss(0, 0, 0, 0, 0), 0, 0)
+    return R.Learning(eps, eps, eps, eps, status, [], [], False)
+
+
+def learning_step(env: AZEnv, handlers: Handlers) -> R.Learning:
+    """(``training.jl:193-259``)"""
+    ap, lp = env.params.arena, env.params.learning
+    if int(env.replay.size) == 0:
+        return _dummy_learning_report()
+    checkpoints: List[R.Checkpoint] = []
+    losses: List[float] = []
+    tloss = teval = ttrain = 0.0
+    t0 = time.perf_counter()
+    trainer = learnmod.Trainer(
+        env.game, env.netspec, env.curnn, env.replay, lp,
+        use_symmetries=env.params.use_symmetries, rng=env.next_key())
+    tconvert = time.perf_counter() - t0
+    init_status = trainer.learning_status()
+    status = init_status
+    handlers.learning_started(env)
+    nbatches = trainer.batches_per_checkpoint()
+    best_evalr = ap.update_threshold if ap is not None else None
+    nn_replaced = False
+
+    for k in range(1, lp.num_checkpoints + 1):
+        handlers.updates_started(env, status)
+        t0 = time.perf_counter()
+        dlosses = trainer.batch_updates(nbatches)
+        jax.block_until_ready(trainer.state.net.params)
+        ttrain += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        status = trainer.learning_status()
+        tloss += time.perf_counter() - t0
+        handlers.updates_finished(env, status)
+        losses.extend(map(float, dlosses))
+        env.curnn = trainer.state.net
+        if ap is None:
+            env.bestnn = env.curnn
+            nn_replaced = True
+        else:
+            handlers.checkpoint_started(env)
+            eval_report = compare_networks(env, env.curnn, env.bestnn,
+                                           handlers)
+            teval += eval_report.time
+            success = eval_report.avgr >= best_evalr
+            if success:
+                nn_replaced = True
+                env.bestnn = env.curnn
+                best_evalr = eval_report.avgr
+            ckpt = R.Checkpoint(batch_id=k * nbatches,
+                                evaluation=eval_report,
+                                status_after_update=status,
+                                nn_replaced=success)
+            checkpoints.append(ckpt)
+            handlers.checkpoint_finished(env, ckpt)
+
+    report = R.Learning(
+        time_convert=tconvert, time_loss=tloss, time_train=ttrain,
+        time_eval=teval, initial_status=init_status, losses=losses,
+        checkpoints=checkpoints, nn_replaced=nn_replaced)
+    handlers.learning_finished(env, report)
+    return report
+
+
+# ---------------------------------------------------------------------------
+# Memory analysis
+# ---------------------------------------------------------------------------
+
+
+def memory_report(env: AZEnv, handlers: Handlers) -> Optional[R.Memory]:
+    """(``training.jl:302-311``, ``learning.jl:191-216``)"""
+    mp = env.params.memory_analysis
+    if mp is None:
+        return None
+    lp = env.params.learning
+
+    def report_for(replay) -> R.Samples:
+        tr = learnmod.Trainer(env.game, env.netspec, env.curnn, replay, lp,
+                              use_symmetries=False, rng=env.next_key())
+        return tr.samples_report()
+
+    all_samples = report_for(env.replay)
+    # latest self-play batch
+    nlast = int(jnp.minimum(env.replay.cur_batch, env.replay.size))
+    if nlast > 0:
+        cap = env.replay.capacity
+        idx = (int(env.replay.ptr) - nlast + np.arange(nlast)) % cap
+        sub = memmod.init_replay(env.game, cap)
+        take = lambda dst, src: dst.at[:nlast].set(src[idx])
+        sub = sub._replace(
+            states=jax.tree.map(take, sub.states, env.replay.states),
+            pi=take(sub.pi, env.replay.pi), z=take(sub.z, env.replay.z),
+            t=take(sub.t, env.replay.t), key=take(sub.key, env.replay.key),
+            ptr=jnp.asarray(nlast % cap, jnp.int32),
+            total=jnp.asarray(nlast, jnp.int32))
+        latest = report_for(sub)
+    else:
+        latest = all_samples
+    # per-game-stage buckets over t (remaining moves)
+    size = int(env.replay.size)
+    ts = np.asarray(env.replay.t[:size])
+    order = np.argsort(ts, kind="stable")
+    stages: List[R.StageSamples] = []
+    nstages = min(mp.num_game_stages, max(size, 1))
+    for chunk in np.array_split(order, nstages):
+        if len(chunk) == 0:
+            continue
+        cap = env.replay.capacity
+        sub = memmod.init_replay(env.game, cap)
+        m = len(chunk)
+        take = lambda dst, src: dst.at[:m].set(src[chunk])
+        sub = sub._replace(
+            states=jax.tree.map(take, sub.states, env.replay.states),
+            pi=take(sub.pi, env.replay.pi), z=take(sub.z, env.replay.z),
+            t=take(sub.t, env.replay.t), key=take(sub.key, env.replay.key),
+            ptr=jnp.asarray(m % cap, jnp.int32),
+            total=jnp.asarray(m, jnp.int32))
+        stages.append(R.StageSamples(
+            min_remaining_length=float(ts[chunk].min()),
+            max_remaining_length=float(ts[chunk].max()),
+            samples_stats=report_for(sub)))
+    rep = R.Memory(latest_batch=latest, all_samples=all_samples,
+                   per_game_stage=stages)
+    handlers.memory_analyzed(env, rep)
+    return rep
+
+
+# ---------------------------------------------------------------------------
+# Main loop
+# ---------------------------------------------------------------------------
+
+
+def resize_memory(env: AZEnv, n: int) -> None:
+    """(``training.jl:180-184``)"""
+    cap = _round_capacity(env.params, n)
+    if cap != env.replay.capacity:
+        env.replay = memmod.resize(env.game, env.replay, cap)
+
+
+def train(env: AZEnv, handlers: Optional[Handlers] = None) -> None:
+    """Run the training loop until ``num_iters`` (``training.jl:321-333``)."""
+    handlers = handlers or Handlers()
+    while env.itc < env.params.num_iters:
+        handlers.iteration_started(env)
+        resize_memory(env, env.params.mem_buffer_size(env.itc))
+        with R.timed() as t_sp:
+            sprep = self_play_step(env, handlers)
+        with R.timed() as t_mem:
+            mrep = memory_report(env, handlers)
+        with R.timed() as t_learn:
+            lrep = learning_step(env, handlers)
+        rep = R.Iteration(
+            perfs_self_play=t_sp.perfs,
+            perfs_memory_analysis=t_mem.perfs,
+            perfs_learning=t_learn.perfs,
+            self_play=sprep, memory=mrep, learning=lrep)
+        env.itc += 1
+        handlers.iteration_finished(env, rep)
+    handlers.training_finished(env)

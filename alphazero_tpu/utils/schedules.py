@@ -65,6 +65,9 @@ class PLSchedule(Schedule):
     ys: Sequence[Scalar]
 
     def __post_init__(self):
+        # coerce to tuples: schedules are dict keys in compile caches
+        object.__setattr__(self, "xs", tuple(self.xs))
+        object.__setattr__(self, "ys", tuple(self.ys))
         assert len(self.xs) == len(self.ys) and len(self.xs) > 0
 
     @property
@@ -101,6 +104,8 @@ class StepSchedule(Schedule):
     ys: Sequence[Scalar]
 
     def __post_init__(self):
+        object.__setattr__(self, "xs", tuple(self.xs))
+        object.__setattr__(self, "ys", tuple(self.ys))
         assert len(self.xs) == len(self.ys)
 
     def __call__(self, i):
