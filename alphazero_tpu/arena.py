@@ -208,7 +208,8 @@ def _duel_program(game: Game, netspec: Optional[NetworkSpec],
 
     @jax.jit
     def run(net_a, net_b, rng):
-        s0 = game.init_batch(B)
+        rng, init_key = jax.random.split(rng)
+        s0 = game.init_batch(B, init_key)
 
         def move(carry, inp):
             s, disc, total = carry

@@ -94,6 +94,9 @@ class Game:
     reward: Callable[[State], jnp.ndarray]
     to_play: Callable[[State], jnp.ndarray]
     canonical_key: Callable[[State], jnp.ndarray]
+    # optional random initial-state distribution (e.g. grid-world's uniform
+    # start, ``games/grid-world/game.jl:30-36``); None = deterministic init
+    init_random: Optional[Callable[[PRNGKey], State]] = None
     heuristic_value: Optional[Callable[[State], jnp.ndarray]] = None
     symmetrize: Optional[Callable[[State, jnp.ndarray], Tuple[State, jnp.ndarray]]] = None
     random_symmetry: Optional[Callable[[State, PRNGKey], State]] = None
@@ -106,8 +109,14 @@ class Game:
 
     # ---- derived helpers -------------------------------------------------
 
-    def init_batch(self, batch_size: int) -> State:
-        """A batch of fresh initial states (leading dim ``batch_size``)."""
+    def init_batch(self, batch_size: int, key: Optional[PRNGKey] = None) -> State:
+        """A batch of fresh initial states (leading dim ``batch_size``).
+
+        Uses ``init_random`` (per-lane keys) when defined and a key is given.
+        """
+        if self.init_random is not None and key is not None:
+            return jax.vmap(self.init_random)(
+                jax.random.split(key, batch_size))
         s0 = self.init()
         return jax.tree.map(
             lambda x: jnp.broadcast_to(x, (batch_size,) + x.shape), s0)

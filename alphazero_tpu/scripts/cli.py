@@ -1,0 +1,107 @@
+"""Command-line interface.
+
+Re-design of ``/root/reference/scripts/alphazero.jl`` +
+``/root/reference/src/scripts/scripts.jl``: subcommands ``train``, ``play``,
+``explore``, ``replot``, ``check-game``, ``dummy-run``, ``bench``.
+
+    python -m alphazero_tpu.scripts.cli train connect-four
+    python -m alphazero_tpu.scripts.cli train tictactoe --dummy
+    python -m alphazero_tpu.scripts.cli play tictactoe
+    python -m alphazero_tpu.scripts.cli explore connect-four
+    python -m alphazero_tpu.scripts.cli check-game mancala
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        prog="alphazero_tpu",
+        description="TPU-native AlphaZero framework")
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU JAX (default: use the TPU if present)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, hlp in [
+            ("train", "start or resume a training session"),
+            ("play", "play interactively against the trained agent"),
+            ("explore", "inspect the agent with the explorer REPL"),
+            ("replot", "regenerate plots from session data"),
+            ("check-game", "run game-interface conformance checks"),
+            ("dummy-run", "smoke-test the full pipeline at minimum size"),
+            ("bench", "run the self-play throughput benchmark")]:
+        sp = sub.add_parser(name, help=hlp)
+        if name != "bench":
+            sp.add_argument("experiment", help="experiment/game name")
+        sp.add_argument("--dir", default=None, help="session directory")
+        if name == "train":
+            sp.add_argument("--dummy", action="store_true",
+                            help="shrink all parameters to minimum")
+            sp.add_argument("--seed", type=int, default=0)
+            sp.add_argument("--save-intermediate", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.cmd == "bench":
+        import bench
+        bench.main()
+        return
+
+    from .. import experiments
+    reg = experiments.registry()
+    if args.experiment not in reg:
+        sys.exit(f"unknown experiment '{args.experiment}' "
+                 f"(available: {', '.join(reg)})")
+    exp = reg[args.experiment]
+
+    if args.cmd == "check-game":
+        from . import test_game
+        test_game.check_game(exp.game)
+        print(f"{exp.game.name}: all interface checks passed")
+        return
+
+    if args.cmd in ("dummy-run",) or (args.cmd == "train" and
+                                      getattr(args, "dummy", False)):
+        exp = experiments.dummy_run_experiment(exp)
+
+    from ..session import Session
+
+    if args.cmd in ("train", "dummy-run"):
+        session = Session(exp, dir=args.dir,
+                          seed=getattr(args, "seed", 0),
+                          save_intermediate=getattr(
+                              args, "save_intermediate", False))
+        session.resume()
+    elif args.cmd == "replot":
+        from ..session.plots import plot_benchmark, plot_training
+        import os
+        d = args.dir or os.path.join("sessions", exp.name)
+        plot_training(d)
+        plot_benchmark(d)
+        print(f"plots regenerated under {d}/plots")
+    elif args.cmd in ("play", "explore"):
+        session = Session(exp, dir=args.dir, quiet=True)
+        env = session.env
+        if args.cmd == "play":
+            from ..session.explorer import interactive_play
+            mp = (env.params.arena.mcts if env.params.arena
+                  else env.params.self_play.mcts)
+            interactive_play(exp.game, exp.netspec, env.bestnn, mp)
+        else:
+            from ..session.explorer import Explorer
+            mp = (env.params.arena.mcts if env.params.arena
+                  else env.params.self_play.mcts)
+            Explorer(exp.game, exp.netspec, env.bestnn, mp,
+                     replay=env.replay).repl()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,7 +90,8 @@ def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
         sims = sims + jnp.sum((~done).astype(jnp.int32)) * cfg.num_sims
         return (s2, traversed, sims), out
 
-    s0 = game.init_batch(B)
+    rng, init_key = jax.random.split(rng)
+    s0 = game.init_batch(B, init_key)
     keys = jax.random.split(rng, L)
     (sf, traversed, sims), tr = jax.lax.scan(
         move, (s0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),

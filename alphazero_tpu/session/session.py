@@ -1,0 +1,295 @@
+"""Session: persistent training UX (checkpointing, logging, benchmarks).
+
+Re-design of ``/root/reference/src/ui/session.jl``: a Session wraps an
+``AZEnv`` with a directory, implements the Handlers callbacks to render
+console reports, saves everything after *every* iteration
+(``save_increment!``, ``session.jl:163-183``), auto-resumes from a valid
+directory (``session.jl:273-298``) checking network-spec equality and
+warning on changed params, and runs the benchmark suite at iteration 0 and
+after each iteration.
+
+On-disk layout (mirroring ``session.jl:68-80``):
+
+    <dir>/params.json          hyperparameters (JSON mirror)
+    <dir>/netspec.json         network spec
+    <dir>/meta.json            iteration counter, replay capacity, rng state
+    <dir>/curnn.npz bestnn.npz network states
+    <dir>/mem.npz              replay buffer
+    <dir>/reports/iter_N.json  per-iteration report
+    <dir>/benchmarks/iter_N.json
+    <dir>/log.txt              full log
+    <dir>/plots/               training curves
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from .. import arena as arenamod
+from .. import config as cfgmod
+from .. import memory as memmod
+from .. import report as R
+from .. import training
+from ..experiments import Experiment
+from ..models.interface import NetState, Network
+from .log import Logger
+
+
+def save_pytree(path: str, tree) -> None:
+    leaves = jax.tree.leaves(tree)
+    np.savez(path, **{f"l{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_pytree(path: str, template):
+    data = np.load(path)
+    leaves = [data[f"l{i}"] for i in range(len(data.files))]
+    treedef = jax.tree.structure(template)
+    t_leaves = jax.tree.leaves(template)
+    assert len(leaves) == len(t_leaves), \
+        f"checkpoint structure mismatch at {path}"
+    import jax.numpy as jnp
+    coerced = [jnp.asarray(l, t.dtype) for l, t in zip(leaves, t_leaves)]
+    return jax.tree.unflatten(treedef, coerced)
+
+
+class Session(training.Handlers):
+    """(``session.jl:46-62``)"""
+
+    def __init__(self, experiment: Experiment, dir: Optional[str] = None,
+                 autosave: bool = True, save_intermediate: bool = False,
+                 seed: int = 0, quiet: bool = False):
+        self.experiment = experiment
+        self.dir = dir or os.path.join("sessions", experiment.name)
+        self.autosave = autosave
+        self.save_intermediate = save_intermediate
+        os.makedirs(self.dir, exist_ok=True)
+        os.makedirs(os.path.join(self.dir, "reports"), exist_ok=True)
+        os.makedirs(os.path.join(self.dir, "benchmarks"), exist_ok=True)
+        self.logger = Logger(
+            logfile=os.path.join(self.dir, "log.txt"),
+            console=open(os.devnull, "w") if quiet else None)
+        self.benchmark_history: List[dict] = []
+        if self._valid_session_dir():
+            self._load(seed)
+        else:
+            self.logger.print(f"Initializing a new AlphaZero environment "
+                              f"in {self.dir}")
+            self.env = training.AZEnv.create(
+                experiment.game, experiment.netspec, experiment.params,
+                seed=seed)
+            self._fresh = True
+        self._load_benchmark_history()
+
+    # ---- persistence ----------------------------------------------------
+
+    def _valid_session_dir(self) -> bool:
+        need = ["meta.json", "curnn.npz", "bestnn.npz", "mem.npz",
+                "netspec.json"]
+        return all(os.path.exists(os.path.join(self.dir, f)) for f in need)
+
+    def save(self, dir: Optional[str] = None) -> None:
+        """(``session.jl:92-108``)"""
+        d = dir or self.dir
+        os.makedirs(d, exist_ok=True)
+        e, env = self.experiment, self.env
+        with open(os.path.join(d, "params.json"), "w") as f:
+            f.write(cfgmod.params_to_json(env.params))
+        with open(os.path.join(d, "netspec.json"), "w") as f:
+            json.dump(e.netspec.to_json(), f, indent=2)
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({
+                "iteration": env.itc,
+                "replay_capacity": env.replay.capacity,
+                "rng": np.asarray(
+                    jax.random.key_data(env.rng)).tolist(),
+                "game": e.game.name,
+            }, f, indent=2)
+        save_pytree(os.path.join(d, "curnn.npz"), env.curnn)
+        save_pytree(os.path.join(d, "bestnn.npz"), env.bestnn)
+        save_pytree(os.path.join(d, "mem.npz"), env.replay)
+
+    def _load(self, seed: int) -> None:
+        """(``load_env``, ``session.jl:110-118``; spec checks ``:282-291``)"""
+        e = self.experiment
+        with open(os.path.join(self.dir, "meta.json")) as f:
+            meta = json.load(f)
+        with open(os.path.join(self.dir, "netspec.json")) as f:
+            saved_spec = json.load(f)
+        if saved_spec != e.netspec.to_json():
+            raise ValueError(
+                "Session directory was created with a different network "
+                f"spec: {saved_spec} != {e.netspec.to_json()}")
+        with open(os.path.join(self.dir, "params.json")) as f:
+            saved_params = f.read()
+        if saved_params != cfgmod.params_to_json(e.params):
+            self.logger.print(
+                "Warning: session parameters differ from the saved ones; "
+                "using the new parameters.")
+        network = Network(e.game, e.netspec)
+        net_t = network.init(jax.random.key(0))
+        curnn = load_pytree(os.path.join(self.dir, "curnn.npz"), net_t)
+        bestnn = load_pytree(os.path.join(self.dir, "bestnn.npz"), net_t)
+        replay_t = memmod.init_replay(e.game, meta["replay_capacity"])
+        replay = load_pytree(os.path.join(self.dir, "mem.npz"), replay_t)
+        rng = jax.random.wrap_key_data(
+            np.asarray(meta["rng"], dtype=np.uint32))
+        self.env = training.AZEnv(
+            game=e.game, netspec=e.netspec, params=e.params, curnn=curnn,
+            bestnn=bestnn, replay=replay, itc=meta["iteration"], rng=rng)
+        self._fresh = False
+        self.logger.print(
+            f"Loaded session from {self.dir} at iteration {meta['iteration']}")
+
+    def _load_benchmark_history(self):
+        bdir = os.path.join(self.dir, "benchmarks")
+        self.benchmark_history = []
+        for fn in sorted(os.listdir(bdir),
+                         key=lambda s: int(s.split("_")[1].split(".")[0])):
+            with open(os.path.join(bdir, fn)) as f:
+                self.benchmark_history.append(json.load(f))
+
+    # ---- benchmark ------------------------------------------------------
+
+    def run_benchmark(self) -> List[R.Evaluation]:
+        """(``session.jl:214-221``)"""
+        env = self.env
+        evals = []
+        for item in self.experiment.benchmark:
+            ev = arenamod.run_benchmark_item(
+                env.game, env.netspec, env.bestnn, item, env.next_key(),
+                gamma=env.params.self_play.mcts.gamma)
+            evals.append(ev)
+            self._log_evaluation(ev)
+        if evals:
+            payload = {"iteration": env.itc,
+                       "evaluations": [R.to_dict(e) for e in evals]}
+            with open(os.path.join(self.dir, "benchmarks",
+                                   f"iter_{env.itc}.json"), "w") as f:
+                json.dump(payload, f, indent=2)
+            self.benchmark_history = [
+                b for b in self.benchmark_history
+                if b["iteration"] != env.itc] + [payload]
+            self.benchmark_history.sort(key=lambda b: b["iteration"])
+        return evals
+
+    def _log_evaluation(self, ev: R.Evaluation):
+        log = self.logger
+        with log.section(f"Benchmark: {ev.legend}"):
+            rows = [["avg reward", f"{ev.avgr:+.3f}"],
+                    ["redundancy", f"{ev.redundancy:.1%}"],
+                    ["duration", f"{ev.time:.1f}s"]]
+            if self.env.params.ternary_outcome:
+                won, draw, lost = arenamod.ternary_stats(ev.rewards)
+                n = max(len(ev.rewards), 1)
+                rows.insert(1, ["won/draw/lost",
+                                f"{won/n:.0%} / {draw/n:.0%} / {lost/n:.0%}"])
+            log.table(["metric", "value"], rows)
+
+    # ---- main entry points ----------------------------------------------
+
+    def resume(self) -> None:
+        """Start or resume training (``resume!``, ``session.jl:310-321``)."""
+        if self._fresh:
+            with self.logger.section("Initial report"):
+                init = training.initial_report(self.env)
+                self.logger.table(["item", "value"], [
+                    ["network parameters", init.num_network_parameters],
+                    ["mcts footprint/node (bytes)",
+                     init.mcts_footprint_per_node]])
+                for e in init.errors:
+                    self.logger.print(f"ERROR: {e}")
+                for w in init.warnings:
+                    self.logger.print(f"warning: {w}")
+                if init.errors:
+                    raise ValueError("invalid parameters: " +
+                                     "; ".join(init.errors))
+            with self.logger.section("Iteration 0 benchmark"):
+                self.run_benchmark()
+            if self.autosave:
+                self.save()
+            self._fresh = False
+        try:
+            training.train(self.env, self)
+        except KeyboardInterrupt:
+            # exit cleanly with the last iteration saved (session.jl:317-320)
+            self.logger.print("Interrupted: last completed iteration saved.")
+
+    # ---- Handlers implementation (``session.jl:468-538``) ---------------
+
+    def iteration_started(self, env):
+        self.logger.print("")
+        self.logger.print(f"=== Starting iteration {env.itc + 1} "
+                          f"/ {env.params.num_iters} ===")
+
+    def self_play_started(self, env):
+        self.logger.print("Self-play in progress...")
+
+    def self_play_finished(self, env, rep: R.SelfPlay):
+        with self.logger.section("Self-play finished"):
+            self.logger.table(["metric", "value"], [
+                ["samples/second", f"{rep.samples_gen_speed:.1f}"],
+                ["avg exploration depth",
+                 f"{rep.average_exploration_depth:.2f}"],
+                ["MCTS tree footprint",
+                 f"{rep.mcts_memory_footprint / 1e6:.1f} MB"],
+                ["memory size", rep.memory_size],
+                ["distinct boards", rep.memory_num_distinct_boards]])
+
+    def updates_finished(self, env, st: R.LearningStatus):
+        with self.logger.section("Learning status"):
+            l = st.loss
+            self.logger.table(
+                ["L", "Lp", "Lv", "Lreg", "Linv", "Hp", "Hpnet"],
+                [[l.L, l.Lp, l.Lv, l.Lreg, l.Linv, st.Hp, st.Hpnet]])
+
+    def checkpoint_finished(self, env, ckpt: R.Checkpoint):
+        ev = ckpt.evaluation
+        if ev is not None:
+            mark = "REPLACED" if ckpt.nn_replaced else "kept"
+            self.logger.print(
+                f"Checkpoint: arena avg reward {ev.avgr:+.3f} "
+                f"(redundancy {ev.redundancy:.0%}) -> best network {mark}")
+
+    def memory_analyzed(self, env, rep: R.Memory):
+        with self.logger.section("Memory analysis"):
+            rows = []
+            for st in rep.per_game_stage:
+                rows.append([f"{st.min_remaining_length:.0f}-"
+                             f"{st.max_remaining_length:.0f}",
+                             st.samples_stats.num_samples,
+                             st.samples_stats.status.loss.Lv,
+                             st.samples_stats.status.loss.Lp])
+            self.logger.table(
+                ["remaining moves", "samples", "Lv", "Lp"], rows)
+
+    def iteration_finished(self, env, rep: R.Iteration):
+        with open(os.path.join(self.dir, "reports",
+                               f"iter_{env.itc}.json"), "w") as f:
+            json.dump(R.to_dict(rep), f, indent=2)
+        with self.logger.section(f"Iteration {env.itc} finished"):
+            self.logger.table(["phase", "seconds"], [
+                ["self play", f"{rep.perfs_self_play.time:.1f}"],
+                ["memory analysis", f"{rep.perfs_memory_analysis.time:.1f}"],
+                ["learning", f"{rep.perfs_learning.time:.1f}"]])
+        self.run_benchmark()
+        if self.autosave:
+            self.save()
+            if self.save_intermediate:
+                self.save(os.path.join(self.dir, f"iter_{env.itc}"))
+            self.logger.print(f"Session saved to {self.dir}")
+        try:
+            from .plots import plot_training, plot_benchmark
+            plot_training(self.dir)
+            plot_benchmark(self.dir)
+        except Exception as exc:  # plots must never kill training
+            self.logger.print(f"(plotting failed: {exc})")
+
+    def training_finished(self, env):
+        self.logger.print("")
+        self.logger.print("Training finished.")

@@ -1,0 +1,92 @@
+"""Headline benchmark: connect-four self-play throughput on one TPU chip.
+
+Flagship configuration (= the reference's, ``games/connect-four/params.jl``):
+ResNet-5x128 policy/value net, 600 MCTS simulations per move.  Metric is
+self-play samples (moves) generated per second, compared against the
+reference baseline of 52 samples/s on an RTX 2070
+(``/root/reference/scripts/profile/self_play.jl:75-79``; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SAMPLES_PER_S = 52.0  # reference, 128 filters, RTX 2070
+
+
+def main():
+    num_lanes = int(os.environ.get("BENCH_LANES", "1024"))
+    num_sims = int(os.environ.get("BENCH_SIMS", "600"))
+    moves = int(os.environ.get("BENCH_MOVES", "8"))
+
+    from alphazero_tpu.envs import registry
+    from alphazero_tpu.models import ResNetSpec
+    from alphazero_tpu.models.interface import Network
+    from alphazero_tpu.search import mcts
+    from alphazero_tpu.envs import core as envcore
+
+    game = registry()["connect-four"]
+    spec = ResNetSpec(num_filters=128, num_blocks=5,
+                      num_policy_head_filters=32, num_value_head_filters=32,
+                      batch_norm_momentum=0.1, compute_dtype="bfloat16")
+    network = Network(game, spec)
+    net = network.init(jax.random.key(0))
+    cfg = mcts.MCTSConfig(num_sims=num_sims, cpuct=2.0, dirichlet_eps=0.25,
+                          dirichlet_alpha=1.0)
+
+    def oracle(states, obs, mask):
+        p, _, v, _ = network.forward_normalized(net, obs, mask)
+        return p, v
+
+    @jax.jit
+    def play_moves(states, rng):
+        """`moves` search+step cycles over the lane batch (self-play core)."""
+        def body(carry, key):
+            s = carry
+            k1, k2, k3 = jax.random.split(key, 3)
+            res = mcts.search(game, oracle, s, k1, cfg)
+            a = jax.vmap(envcore.sample_from)(
+                res.policy, jax.random.split(k2, num_lanes))
+            done = jax.vmap(game.terminated)(s)
+            s2 = jax.vmap(game.step)(s, a, jax.random.split(k3, num_lanes))
+            s2 = jax.tree.map(
+                lambda new, old: jnp.where(
+                    done.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
+                s2, s)
+            return s2, jnp.sum(~done)
+        states, counts = jax.lax.scan(
+            body, states, jax.random.split(rng, moves))
+        return states, jnp.sum(counts)
+
+    s0 = game.init_batch(num_lanes)
+    # warmup/compile
+    t0 = time.perf_counter()
+    _, n = play_moves(s0, jax.random.key(1))
+    jax.block_until_ready(n)
+    compile_and_first = time.perf_counter() - t0
+    # timed run
+    t0 = time.perf_counter()
+    _, n = play_moves(s0, jax.random.key(2))
+    n = int(jax.block_until_ready(n))
+    elapsed = time.perf_counter() - t0
+    samples_per_s = n / elapsed
+    print(json.dumps({
+        "metric": "selfplay_samples_per_s_c4_resnet5x128_600sims",
+        "value": round(samples_per_s, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 2),
+    }))
+    print(f"# lanes={num_lanes} sims={num_sims} moves={moves} "
+          f"samples={n} elapsed={elapsed:.1f}s "
+          f"first_call={compile_and_first:.1f}s device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,4 +15,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# the axon TPU plugin force-prepends itself to JAX_PLATFORMS; the config
+# update below overrides it so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
