@@ -1,0 +1,198 @@
+"""Ground-truth mistake-rate benchmark for connect-four agents.
+
+Re-design of ``/root/reference/games/connect-four/scripts/pons_benchmark.jl``:
+evaluate an agent against the *perfect* game-theoretic values of the in-repo
+C++ solver on a set of positions bucketed by game stage x difficulty
+(``pons_benchmark.jl:18-45``).  The reference downloads Pascal Pons' test
+set; with no network egress we generate an equivalent set locally: random
+(blunder-free) playouts truncated at random depths, labeled exactly by the
+solver, with difficulty measured by the solver's node count.
+
+A "mistake" is a move whose exact value class (win/draw/loss) is strictly
+worse than the best achievable class in the position.
+
+Usage:
+    python -m alphazero_tpu.scripts.mistake_rate [session_dir] [--n 600]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import solver
+from ..envs import registry as game_registry
+
+
+@dataclasses.dataclass
+class TestPosition:
+    moves: str        # 1-based column string
+    values: List[Optional[int]]   # exact value per column (None = illegal)
+    nodes: int        # solver work for the position (difficulty proxy)
+
+    @property
+    def best_class(self) -> int:
+        best = max(v for v in self.values if v is not None)
+        return int(np.sign(best))
+
+
+def _play_board(moves: str):
+    board = np.zeros((6, 7), np.int8)
+    player = 1
+    for ch in moves:
+        c = int(ch) - 1
+        r = int((board[:, c] != 0).sum())
+        board[r, c] = player
+        player = 3 - player
+    return board, player
+
+
+def _winner(board):
+    for p in (1, 2):
+        m = (board == p).astype(int)
+        for w in (m[:, :4] + m[:, 1:5] + m[:, 2:6] + m[:, 3:7],
+                  m[:3] + m[1:4] + m[2:5] + m[3:6],
+                  m[:3, :4] + m[1:4, 1:5] + m[2:5, 2:6] + m[3:6, 3:7],
+                  m[3:, :4] + m[2:5, 1:5] + m[1:4, 2:6] + m[:3, 3:7]):
+            if (w >= 4).any():
+                return p
+    return 0
+
+
+def generate_positions(n: int, seed: int = 0,
+                       min_ply: int = 4, max_ply: int = 36
+                       ) -> List[TestPosition]:
+    """Random reachable non-terminal positions with exact solver labels."""
+    rng = np.random.default_rng(seed)
+    out: List[TestPosition] = []
+    seen = set()
+    while len(out) < n:
+        target = int(rng.integers(min_ply, max_ply + 1))
+        board = np.zeros((6, 7), np.int8)
+        moves = ""
+        player = 1
+        for _ in range(target):
+            legal = [c for c in range(7) if board[5, c] == 0]
+            if not legal:
+                break
+            c = int(rng.choice(legal))
+            r = int((board[:, c] != 0).sum())
+            board[r, c] = player
+            if _winner(board):
+                board[r, c] = 0
+                break
+            moves += str(c + 1)
+            player = 3 - player
+        if len(moves) < min_ply or moves in seen:
+            continue
+        seen.add(moves)
+        _, nodes = solver.solve_with_nodes(moves)
+        values = solver.move_values(moves)
+        out.append(TestPosition(moves=moves, values=values, nodes=nodes))
+    return out
+
+
+def _stage(p: TestPosition) -> str:
+    n = len(p.moves)
+    return "beginning" if n < 14 else ("middle" if n < 28 else "end")
+
+
+def evaluate_agent(think_fn, positions: List[TestPosition],
+                   batch_size: int = 256) -> np.ndarray:
+    """``think_fn(states) -> pi [B, 7]``; returns per-position mistake flags."""
+    game = game_registry()["connect-four"]
+    mistakes = np.zeros(len(positions), bool)
+    for start in range(0, len(positions), batch_size):
+        chunk = positions[start:start + batch_size]
+        states = []
+        for p in chunk:
+            board, player = _play_board(p.moves)
+            states.append(game.init()._replace(
+                board=jnp.asarray(board),
+                player=jnp.asarray(player - 1, jnp.int32)))
+        batch = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        pi = np.asarray(think_fn(batch))
+        for j, p in enumerate(chunk):
+            legal = np.asarray([v is not None for v in p.values])
+            masked = np.where(legal, pi[j], -1.0)
+            a = int(masked.argmax())
+            cls = int(np.sign(p.values[a])) if p.values[a] is not None else -1
+            mistakes[start + j] = cls < p.best_class
+    return mistakes
+
+
+def bucketed_report(positions: List[TestPosition],
+                    mistakes: np.ndarray) -> Dict:
+    """Six buckets: stage x difficulty tercile (``pons_benchmark.jl:18-45``)."""
+    nodes = np.asarray([p.nodes for p in positions], np.float64)
+    t1, t2 = np.quantile(nodes, [1 / 3, 2 / 3])
+
+    def difficulty(p):
+        return ("easy" if p.nodes <= t1
+                else ("medium" if p.nodes <= t2 else "hard"))
+
+    report: Dict = {"overall_mistake_rate": float(mistakes.mean()),
+                    "num_positions": len(positions), "buckets": {}}
+    for stage in ("beginning", "middle", "end"):
+        for diff in ("easy", "medium", "hard"):
+            idx = [i for i, p in enumerate(positions)
+                   if _stage(p) == stage and difficulty(p) == diff]
+            if idx:
+                report["buckets"][f"{stage}/{diff}"] = {
+                    "n": len(idx),
+                    "mistake_rate": float(mistakes[idx].mean())}
+    return report
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("session_dir", nargs="?", default=None,
+                    help="session to evaluate (default: raw network-free "
+                         "MCTS-rollouts agent)")
+    ap.add_argument("--n", type=int, default=600)
+    ap.add_argument("--sims", type=int, default=600)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    print(f"generating + solving {args.n} positions...")
+    positions = generate_positions(args.n, seed=args.seed)
+    game = game_registry()["connect-four"]
+
+    from .. import arena as A
+    from ..config import MctsParams
+    if args.session_dir:
+        from ..experiments import registry as exp_registry
+        from ..session import Session
+        exp = exp_registry()["connect-four"]
+        session = Session(exp, dir=args.session_dir, quiet=True)
+        spec = A.Full(exp.params.arena.mcts.replace(
+            num_iters_per_turn=args.sims))
+        think, _ = spec.make_think(game, exp.netspec)
+        net = session.env.bestnn
+    else:
+        spec = A.MctsRollouts(MctsParams(num_iters_per_turn=args.sims,
+                                         cpuct=1.0))
+        think, _ = spec.make_think(game, None)
+        net = None
+
+    fn = jax.jit(lambda s, k: think(net, s, 10**9, k))
+    rng = jax.random.key(args.seed)
+
+    def think_fn(states):
+        nonlocal rng
+        rng, k = jax.random.split(rng)
+        return fn(states, k)
+
+    mistakes = evaluate_agent(think_fn, positions)
+    report = bucketed_report(positions, mistakes)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

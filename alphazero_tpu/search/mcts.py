@@ -3,11 +3,10 @@
 TPU-native re-design of the reference's sequential, hashtable-based MCTS
 (``/root/reference/src/mcts.jl``).  Instead of one ``Dict{State,StateInfo}``
 per worker task with an async inference server (``src/batchifier.jl``), the
-tree is a fixed-shape array structure over a whole *batch* of games: node
-arrays of shape ``[B, num_sims+1, A]`` traversed with ``lax.while_loop`` and
-updated with scatters, so that every simulation step evaluates the network on
-all ``B`` leaf states in a single tensor op.  The async batching layer of the
-reference disappears entirely.
+tree is a fixed-shape array structure over a whole *batch* of games,
+traversed with ``lax.while_loop`` and updated in place, so that every
+simulation step evaluates the network on all ``B`` leaf states in a single
+tensor op.  The async batching layer of the reference disappears entirely.
 
 Search semantics preserved exactly (validated in tests/test_mcts.py against a
 pure-python transliteration of the documented algorithm):
@@ -24,6 +23,20 @@ pure-python transliteration of the documented algorithm):
   (``src/mcts.jl:200-201``) and absorb descents.
 * Visit-count policy at the root (``src/mcts.jl:255-271``).
 
+Performance layout (derived from on-chip ablations):
+
+* node-major arrays ``[N, B, ...]`` — expansion writes are contiguous
+  major-axis dynamic-update-slices that XLA keeps in place in the sim loop
+  (lane-major layouts provoked full-array layout-transpose copies per sim);
+* per-node data is packed into three f32 slabs (``meta``, ``prior_legal``,
+  ``stats``) so each step of the descent costs three gathers instead of
+  eight;
+* all mutable statistics live in one slab, updated by a *single* batched
+  scatter-add per simulation: the q-chain ``q_d = r_d + gamma*f_d*q_{d+1}``
+  telescopes through prefix products into a reverse cumsum (closed-form
+  backprop), and the child-pointer installation is folded into the same
+  scatter because it is an exactly-once ``0 -> i+1`` add.
+
 Design divergence (documented per SURVEY §7): the reference tree is a
 transposition table keyed by state, shared across the moves of a game; here
 each move gets a fresh per-move tree without transpositions.  This is the
@@ -34,7 +47,6 @@ subtree) and is validated on learning curves rather than node-for-node parity.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -43,7 +55,6 @@ import jax.numpy as jnp
 from ..envs import core as envcore
 from ..envs.core import Game
 
-UNVISITED = jnp.int32(-1)
 NEG_INF = jnp.float32(-1e30)
 
 # An oracle evaluates a batch of states: (states, obs[B,...], mask[B,A]) ->
@@ -51,6 +62,10 @@ NEG_INF = jnp.float32(-1e30)
 # This is the batched analogue of `oracle(state) -> (P, V)`
 # (``src/mcts.jl:6-17``).
 Oracle = Callable[[Any, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+# meta slab slots
+_PLAYER, _TERMINAL, _REWARD, _VALUE = 0, 1, 2, 3
+_META_W = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,23 +82,19 @@ class MCTSConfig:
 
 
 class Tree(NamedTuple):
-    """Array-of-structs search tree over a batch of B games.
+    """Node-major array tree over a batch of B games.
 
     ``N = num_sims + 1`` node slots per game; node 0 is the root; node ``i``
     is the node expanded by simulation ``i`` (a slot stays dead when the
     simulation ended on a terminal node instead of expanding).
+
+    ``AP`` is the action width padded up to a multiple of 8.
     """
 
-    states: Any            # pytree, leaves [B, N, ...]
-    player: jnp.ndarray    # i32  [B, N] player to move
-    terminal: jnp.ndarray  # bool [B, N]
-    reward: jnp.ndarray    # f32  [B, N] white reward of transition into node
-    value: jnp.ndarray     # f32  [B, N] oracle value (current-player POV)
-    prior: jnp.ndarray     # f32  [B, N, A]
-    legal: jnp.ndarray     # bool [B, N, A]
-    visits: jnp.ndarray    # i32  [B, N, A]
-    qsum: jnp.ndarray      # f32  [B, N, A]  (the reference's W)
-    children: jnp.ndarray  # i32  [B, N, A], UNVISITED if unexpanded
+    states: Any             # pytree, leaves [N, B, ...]
+    meta: jnp.ndarray       # f32 [N, B, 8]: player, terminal, reward, value
+    prior_legal: jnp.ndarray  # f32 [N, B, 2*AP]: prior | legal(0/1)
+    stats: jnp.ndarray      # f32 [N, B, 3*AP]: qsum | visits | child+1
 
 
 class SearchResults(NamedTuple):
@@ -95,13 +106,14 @@ class SearchResults(NamedTuple):
     tree: Tree
 
 
-def _batch_gather(x, idx):
-    """x: [B, N, ...], idx: [B] -> [B, ...]."""
-    return jax.vmap(lambda row, i: row[i])(x, idx)
+def _pad_width(a: int) -> int:
+    return ((a + 7) // 8) * 8
 
 
-def _tree_gather_state(states, idx):
-    return jax.tree.map(lambda x: _batch_gather(x, idx), states)
+def _row_gather(x, idx):
+    """x: [N, B, W], idx: [B] -> [B, W] (per-lane node row lookup)."""
+    B = x.shape[1]
+    return jax.vmap(lambda i, b: x[i, b])(idx, jnp.arange(B))
 
 
 def _apply_prior_temperature(p, legal, tau):
@@ -120,64 +132,74 @@ def dirichlet_noise(key, legal, alpha):
     return g / jnp.maximum(jnp.sum(g, -1, keepdims=True), 1e-30)
 
 
+def _pack_meta(game: Game, states, value):
+    """[B, 8] meta rows for a batch of states."""
+    B = value.shape[0]
+    meta = jnp.zeros((B, _META_W), jnp.float32)
+    meta = meta.at[:, _PLAYER].set(
+        jax.vmap(game.to_play)(states).astype(jnp.float32))
+    meta = meta.at[:, _TERMINAL].set(
+        jax.vmap(game.terminated)(states).astype(jnp.float32))
+    meta = meta.at[:, _REWARD].set(jax.vmap(game.reward)(states))
+    meta = meta.at[:, _VALUE].set(value.astype(jnp.float32))
+    return meta
+
+
+def _pack_prior_legal(p, legal, ap: int):
+    B, A = p.shape
+    out = jnp.zeros((B, 2 * ap), jnp.float32)
+    out = out.at[:, :A].set(p)
+    out = out.at[:, ap:ap + A].set(legal.astype(jnp.float32))
+    return out
+
+
 def init_tree(game: Game, cfg: MCTSConfig, roots, root_p, root_v) -> Tree:
-    """Allocate the node arrays and install the evaluated roots."""
+    """Allocate the node slabs and install the evaluated roots."""
     B = root_p.shape[0]
     N = cfg.num_sims + 1
-    A = game.num_actions
-
-    def alloc(x):
-        return jnp.zeros((B, N) + x.shape[1:], x.dtype).at[:, 0].set(x)
+    ap = _pad_width(game.num_actions)
 
     root_legal = jax.vmap(game.legal_mask)(roots)
     prior = _apply_prior_temperature(root_p, root_legal, cfg.prior_temperature)
+
+    def alloc(x):
+        return jnp.zeros((N,) + x.shape, x.dtype).at[0].set(x)
+
+    meta0 = _pack_meta(game, roots, root_v)
+    # the root's reward slot is never used; zero it for cleanliness
+    meta0 = meta0.at[:, _REWARD].set(0.0)
     return Tree(
         states=jax.tree.map(alloc, roots),
-        player=alloc(jax.vmap(game.to_play)(roots).astype(jnp.int32)),
-        terminal=alloc(jax.vmap(game.terminated)(roots)),
-        reward=jnp.zeros((B, N), jnp.float32),
-        value=alloc(root_v.astype(jnp.float32)),
-        prior=alloc(prior),
-        legal=alloc(root_legal),
-        visits=jnp.zeros((B, N, A), jnp.int32),
-        qsum=jnp.zeros((B, N, A), jnp.float32),
-        children=jnp.full((B, N, A), UNVISITED),
+        meta=alloc(meta0),
+        prior_legal=alloc(_pack_prior_legal(prior, root_legal, ap)),
+        stats=jnp.zeros((N, B, 3 * ap), jnp.float32),
     )
 
 
-def _puct_scores(tree: Tree, node, eta, eps, cpuct):
-    """UCT scores at ``node`` [B] (``src/mcts.jl:180-188``), -inf on illegal."""
-    n = _batch_gather(tree.visits, node).astype(jnp.float32)    # [B, A]
-    w = _batch_gather(tree.qsum, node)
-    p = _batch_gather(tree.prior, node)
-    legal = _batch_gather(tree.legal, node)
-    is_root = (node == 0)[:, None]
-    p = jnp.where(is_root & (eps > 0), (1.0 - eps) * p + eps * eta, p)
-    q = w / jnp.maximum(n, 1.0)
-    sqrt_ntot = jnp.sqrt(jnp.sum(n, -1, keepdims=True))
-    u = cpuct * p * sqrt_ntot / (n + 1.0)
-    return jnp.where(legal, q + u, NEG_INF)
-
-
 class _SelectState(NamedTuple):
-    cur: jnp.ndarray           # i32 [B] current node during descent
-    done: jnp.ndarray          # bool [B] descent finished
+    cur: jnp.ndarray            # i32 [B] current node during descent
+    cur_terminal: jnp.ndarray   # bool [B] current node is terminal
+    done: jnp.ndarray           # bool [B] descent finished
     expand_parent: jnp.ndarray  # i32 [B] parent of expansion edge (-1: none)
     expand_action: jnp.ndarray  # i32 [B]
-    depth: jnp.ndarray         # i32 [B] edges recorded so far
-    path_nodes: jnp.ndarray    # i32 [B, D]
-    path_actions: jnp.ndarray  # i32 [B, D]
-    d: jnp.ndarray             # i32 [] loop counter
+    depth: jnp.ndarray          # i32 [B] edges recorded so far
+    path_nodes: jnp.ndarray     # i32 [B, D]
+    path_actions: jnp.ndarray   # i32 [B, D]
+    d: jnp.ndarray              # i32 [] loop counter
 
 
-def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int) -> _SelectState:
+def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int
+            ) -> _SelectState:
     """Walk every lane down its tree until an unexpanded edge or a terminal
     node is hit (the in-tree phase of ``run_simulation!``,
     ``src/mcts.jl:199-226``)."""
-    B = tree.player.shape[0]
+    N, B = tree.meta.shape[:2]
+    A = num_actions
+    ap = tree.prior_legal.shape[-1] // 2
     init = _SelectState(
         cur=jnp.zeros((B,), jnp.int32),
-        done=_batch_gather(tree.terminal, jnp.zeros((B,), jnp.int32)),
+        cur_terminal=tree.meta[0, :, _TERMINAL] > 0.5,
+        done=tree.meta[0, :, _TERMINAL] > 0.5,
         expand_parent=jnp.full((B,), -1, jnp.int32),
         expand_action=jnp.zeros((B,), jnp.int32),
         depth=jnp.zeros((B,), jnp.int32),
@@ -190,59 +212,89 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int) -> _SelectState:
         return jnp.any(~s.done) & (s.d < max_depth)
 
     def body(s):
-        scores = _puct_scores(tree, s.cur, eta, cfg.dirichlet_eps, cfg.cpuct)
+        stats = _row_gather(tree.stats, s.cur)          # [B, 3*ap]
+        pl = _row_gather(tree.prior_legal, s.cur)       # [B, 2*ap]
+        qsum = stats[:, :A]
+        nvis = stats[:, ap:ap + A]
+        childp1 = stats[:, 2 * ap:2 * ap + A]
+        p = pl[:, :A]
+        legal = pl[:, ap:ap + A] > 0.5
+        is_root = (s.cur == 0)[:, None]
+        if cfg.dirichlet_eps > 0:
+            p = jnp.where(is_root,
+                          (1.0 - cfg.dirichlet_eps) * p
+                          + cfg.dirichlet_eps * eta, p)
+        q = qsum / jnp.maximum(nvis, 1.0)
+        sqrt_ntot = jnp.sqrt(jnp.sum(nvis, -1, keepdims=True))
+        scores = jnp.where(legal,
+                           q + cfg.cpuct * p * sqrt_ntot / (nvis + 1.0),
+                           NEG_INF)
         action = jnp.argmax(scores, -1).astype(jnp.int32)
-        child = jax.vmap(lambda c, n, a: c[n, a])(tree.children, s.cur, action)
+        child = (jnp.take_along_axis(childp1, action[:, None], 1)[:, 0]
+                 ).astype(jnp.int32) - 1
         active = ~s.done
-        # record the traversed edge (including the expansion edge)
-        brange = jnp.arange(B)
-        slot = jnp.where(active, s.depth, max_depth)  # OOB drop when inactive
-        path_nodes = s.path_nodes.at[brange, slot].set(s.cur, mode="drop")
-        path_actions = s.path_actions.at[brange, slot].set(action, mode="drop")
+        # record the traversed edge (including the expansion edge); active
+        # lanes all sit at depth == loop counter, so this is an in-place
+        # dynamic_update_slice, not a scatter
+        path_nodes = jax.lax.dynamic_update_slice(
+            s.path_nodes, jnp.where(active, s.cur, -1)[:, None], (0, s.d))
+        path_actions = jax.lax.dynamic_update_slice(
+            s.path_actions, jnp.where(active, action, 0)[:, None], (0, s.d))
         depth = s.depth + active.astype(jnp.int32)
-        needs_expand = active & (child == UNVISITED)
+        needs_expand = active & (child < 0)
         expand_parent = jnp.where(needs_expand, s.cur, s.expand_parent)
         expand_action = jnp.where(needs_expand, action, s.expand_action)
-        child_terminal = _batch_gather(tree.terminal, jnp.maximum(child, 0))
+        child_meta = _row_gather(tree.meta, jnp.maximum(child, 0))
+        child_terminal = child_meta[:, _TERMINAL] > 0.5
         done = s.done | needs_expand | (active & child_terminal)
         cur = jnp.where(active & ~needs_expand, child, s.cur)
-        return _SelectState(cur, done, expand_parent, expand_action, depth,
-                            path_nodes, path_actions, s.d + 1)
+        cur_terminal = jnp.where(active & ~needs_expand, child_terminal,
+                                 s.cur_terminal)
+        return _SelectState(cur, cur_terminal, done, expand_parent,
+                            expand_action, depth, path_nodes, path_actions,
+                            s.d + 1)
 
     return jax.lax.while_loop(cond, body, init)
 
 
-def _backprop(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
-              cfg: MCTSConfig, max_depth: int) -> Tree:
-    """Propagate the leaf value up the recorded path, with discounting and
-    sign flips on player switches (``src/mcts.jl:214-221``)."""
-    B = tree.player.shape[0]
+def _edge_updates(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
+                  cfg: MCTSConfig, max_depth: int, num_actions: int):
+    """Closed-form backprop: per-edge q values and visit increments.
+
+    Returns ``(q_edges [B, D], on_path [B, D], nodes, actions)`` where
+    ``q_edges`` follows ``src/mcts.jl:214-221`` exactly (see module doc).
+    """
+    N, B = tree.meta.shape[:2]
+    D = max_depth
     brange = jnp.arange(B)
+    didx = jnp.arange(D)[None, :]
+    depth = sel.depth[:, None]
+    on_path = didx < depth
+    nodes = jnp.where(on_path, sel.path_nodes, 0)
+    actions = jnp.where(on_path, sel.path_actions, 0)
+    shifted = jnp.concatenate(
+        [sel.path_nodes[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    childs = jnp.where(didx == depth - 1, leaf_node[:, None], shifted)
+    childs = jnp.where(on_path, childs, 0)
 
-    def body(k, carry):
-        qsum, visits, q, child = carry
-        d = sel.depth - 1 - k              # [B] current edge (from the bottom)
-        active = d >= 0
-        dd = jnp.maximum(d, 0)
-        parent = sel.path_nodes[brange, dd]
-        action = sel.path_actions[brange, dd]
-        r_white = _batch_gather(tree.reward, child)
-        parent_player = _batch_gather(tree.player, parent)
-        child_player = _batch_gather(tree.player, child)
-        r = jnp.where(parent_player == envcore.WHITE, r_white, -r_white)
-        qnext = jnp.where(parent_player == child_player, q, -q)
-        q_edge = r + cfg.gamma * qnext
-        pa = jnp.where(active, parent, tree.player.shape[1])  # OOB drop
-        qsum = qsum.at[brange, pa, action].add(q_edge, mode="drop")
-        visits = visits.at[brange, pa, action].add(1, mode="drop")
-        q = jnp.where(active, q_edge, q)
-        child = jnp.where(active, parent, child)
-        return qsum, visits, q, child
+    def meta_take(idx):  # [B, D] node indices -> [B, D, META_W]
+        return jax.vmap(lambda irow, b: tree.meta[irow, b])(idx, brange)
 
-    qsum, visits, _, _ = jax.lax.fori_loop(
-        0, max_depth, body,
-        (tree.qsum, tree.visits, leaf_value, leaf_node))
-    return tree._replace(qsum=qsum, visits=visits)
+    m_parent = meta_take(nodes)
+    m_child = meta_take(childs)
+    r_white = m_child[..., _REWARD]
+    r = jnp.where(m_parent[..., _PLAYER] == envcore.WHITE, r_white, -r_white)
+    r = jnp.where(on_path, r, 0.0)
+    f = jnp.where(m_parent[..., _PLAYER] == m_child[..., _PLAYER], 1.0, -1.0)
+    f_excl = jnp.concatenate([jnp.ones((B, 1)), f[:, :-1]], axis=1)
+    h = (cfg.gamma ** didx.astype(jnp.float32)) * jnp.cumprod(f_excl, axis=1)
+    h_ext = jnp.concatenate([h, h[:, -1:] * f[:, -1:] * cfg.gamma], axis=1)
+    h_leaf = jax.vmap(lambda row, i: row[i])(h_ext, sel.depth)
+    hr = h * r
+    rev_cumsum = jnp.cumsum(hr[:, ::-1], axis=1)[:, ::-1]
+    s_vals = rev_cumsum + (h_leaf * leaf_value)[:, None]
+    q_edges = jnp.where(on_path, s_vals / h, 0.0)
+    return q_edges, on_path, nodes, actions
 
 
 def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
@@ -255,6 +307,8 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
     """
     if max_depth is None:
         max_depth = game.max_game_length + 1
+    A = game.num_actions
+    ap = _pad_width(A)
     B = jax.tree.leaves(roots)[0].shape[0]
     noise_key, rng = jax.random.split(rng)
 
@@ -263,18 +317,23 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
     root_p, root_v = oracle(roots, root_obs, root_mask)
     tree = init_tree(game, cfg, roots, root_p, root_v)
     eta = dirichlet_noise(noise_key, root_mask, cfg.dirichlet_alpha)
+    N = cfg.num_sims + 1
+    brange = jnp.arange(B)
 
     step_keys = jax.random.split(rng, cfg.num_sims)
 
     def sim_body(i, carry):
         tree, traversed = carry
-        sel = _select(tree, eta, cfg, max_depth)
+        sel = _select(tree, eta, cfg, max_depth, A)
         expanding = sel.expand_parent >= 0
         # --- expand: step the env over the expansion edge ------------------
         parent_idx = jnp.maximum(sel.expand_parent, 0)
-        parent_states = _tree_gather_state(tree.states, parent_idx)
+        parent_states = jax.tree.map(
+            lambda x: _row_gather(x.reshape(x.shape[:2] + (-1,)), parent_idx
+                                  ).reshape((B,) + x.shape[2:]),
+            tree.states)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
-            step_keys[i - 1], jnp.arange(B))
+            step_keys[i - 1], brange)
         child_states = jax.vmap(game.step)(
             parent_states, sel.expand_action, keys)
         child_obs = jax.vmap(game.observe)(child_states)
@@ -283,49 +342,65 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         child_terminal = jax.vmap(game.terminated)(child_states)
         child_prior = _apply_prior_temperature(
             child_p, child_mask, cfg.prior_temperature)
-        # new node slot: this simulation's index
-        brange = jnp.arange(B)
-        slot = jnp.where(expanding, i, tree.player.shape[1])  # OOB drop
+        # write the new node's slot (same index for every lane -> in-place
+        # contiguous dynamic-update-slices)
 
         def put(arr, val):
-            return arr.at[brange, slot].set(val, mode="drop")
+            old = jax.lax.dynamic_slice_in_dim(arr, i, 1, axis=0)
+            sel_mask = expanding.reshape((1, B) + (1,) * (val.ndim - 2))
+            new = jnp.where(sel_mask, val, old)
+            return jax.lax.dynamic_update_slice_in_dim(arr, new, i, axis=0)
 
         tree = tree._replace(
-            states=jax.tree.map(put, tree.states, child_states),
-            player=put(tree.player,
-                       jax.vmap(game.to_play)(child_states).astype(jnp.int32)),
-            terminal=put(tree.terminal, child_terminal),
-            reward=put(tree.reward, jax.vmap(game.reward)(child_states)),
-            value=put(tree.value, child_v.astype(jnp.float32)),
-            prior=put(tree.prior, child_prior),
-            legal=put(tree.legal, child_mask),
-            children=tree.children.at[
-                brange,
-                jnp.where(expanding, parent_idx, tree.player.shape[1]),
-                sel.expand_action].set(i, mode="drop"),
+            states=jax.tree.map(
+                lambda a, v: put(a, v[None]), tree.states, child_states),
+            meta=put(tree.meta, _pack_meta(game, child_states, child_v)[None]),
+            prior_legal=put(tree.prior_legal,
+                            _pack_prior_legal(child_prior, child_mask,
+                                              ap)[None]),
         )
         # --- leaf value ----------------------------------------------------
         # expansion: oracle value (0 if the new node is terminal,
         # ``src/mcts.jl:200-201,205-207``); terminal descent: 0.
         leaf_node = jnp.where(expanding, i, sel.cur).astype(jnp.int32)
         leaf_value = jnp.where(expanding & ~child_terminal, child_v, 0.0)
-        tree = _backprop(tree, sel, leaf_node, leaf_value.astype(jnp.float32),
-                         cfg, max_depth)
+        # --- single fused scatter: qsum adds, visit adds, child install ----
+        q_edges, on_path, nodes, actions = _edge_updates(
+            tree, sel, leaf_node, leaf_value.astype(jnp.float32), cfg,
+            max_depth, A)
+        S = 3 * ap
+        base = (nodes * B + brange[:, None]) * S + actions
+        oob = N * B * S
+        idx_q = jnp.where(on_path, base, oob)
+        idx_v = jnp.where(on_path, base + ap, oob)
+        idx_c = jnp.where(
+            expanding,
+            (parent_idx * B + brange) * S + 2 * ap + sel.expand_action,
+            oob)
+        all_idx = jnp.concatenate(
+            [idx_q.reshape(-1), idx_v.reshape(-1), idx_c])
+        all_upd = jnp.concatenate(
+            [q_edges.reshape(-1),
+             on_path.astype(jnp.float32).reshape(-1),
+             jnp.full((B,), float(0), jnp.float32) + (i + 1.0)])
+        stats = tree.stats.reshape(-1).at[all_idx].add(
+            all_upd, mode="drop", unique_indices=True).reshape(N, B, S)
+        tree = tree._replace(stats=stats)
         return tree, traversed + jnp.sum(sel.depth)
 
     tree, traversed = jax.lax.fori_loop(
         1, cfg.num_sims + 1, sim_body, (tree, jnp.zeros((), jnp.int32)))
 
-    root_visits = tree.visits[:, 0]
+    root_visits = tree.stats[0, :, ap:ap + A].astype(jnp.int32)
     ntot = jnp.sum(root_visits, -1, keepdims=True).astype(jnp.float32)
     policy = root_visits.astype(jnp.float32) / jnp.maximum(ntot, 1.0)
-    root_q = tree.qsum[:, 0] / jnp.maximum(
+    root_q = tree.stats[0, :, :A] / jnp.maximum(
         root_visits.astype(jnp.float32), 1.0)
     return SearchResults(
         policy=policy,
         root_visits=root_visits,
         root_q=root_q,
-        root_value=tree.value[:, 0],
+        root_value=tree.meta[0, :, _VALUE],
         nodes_traversed=traversed,
         tree=tree,
     )

@@ -1,0 +1,80 @@
+"""Multi-device sharding: the fused training iteration on an 8-device mesh.
+
+Runs on the virtual 8-CPU-device mesh configured in conftest.py — the
+simulated-mesh test strategy the reference lacks (SURVEY §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_tpu import parallel
+from alphazero_tpu.config import LearningParams, MctsParams
+from alphazero_tpu.envs import registry
+from alphazero_tpu.models import Adam, SimpleNetSpec
+from alphazero_tpu.models.interface import Network
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_train_iteration_runs():
+    game = registry()["tictactoe"]
+    spec = SimpleNetSpec(width=16, depth_common=1)
+    mesh = parallel.make_mesh(8)
+    lp = LearningParams(
+        optimiser=Adam(lr=1e-3), l2_regularization=1e-4,
+        batch_size=16, loss_computation_batch_size=16,
+        min_checkpoints_per_epoch=0, max_batches_per_checkpoint=2,
+        num_checkpoints=1)
+    mp = MctsParams(num_iters_per_turn=8, dirichlet_noise_eps=0.25,
+                    dirichlet_noise_alpha=1.0)
+    run = parallel.sharded_train_iteration(
+        game, spec, mp, lp, num_lanes=16, num_sgd_steps=3, mesh=mesh)
+    net = Network(game, spec).init(jax.random.key(0))
+    net2, losses = run(net, jax.random.key(1))
+    assert np.isfinite(np.asarray(losses)).all()
+    # parameters actually changed
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(net.params),
+                        jax.tree.leaves(net2.params)))
+    assert changed
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_and_shardings():
+    mesh = parallel.make_mesh(8)
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = parallel.make_mesh(8, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    x = jnp.zeros((16, 4))
+    y = jax.device_put(x, parallel.data_sharded(mesh))
+    assert len(y.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_selfplay_matches_single_device():
+    """Determinism across shardings: same rng -> same samples regardless of
+    device layout (the seed-parity requirement of BASELINE.md)."""
+    from alphazero_tpu import selfplay
+    from alphazero_tpu.search import mcts
+    game = registry()["tictactoe"]
+    oracle = mcts.random_oracle(game)
+    cfg = mcts.MCTSConfig(num_sims=8)
+    from alphazero_tpu.utils.schedules import ConstSchedule
+
+    def run(sharded):
+        fn = lambda key: selfplay.self_play_batch(
+            game, oracle, cfg, ConstSchedule(1.0), 16, key)
+        if sharded:
+            mesh = parallel.make_mesh(8)
+            fn = jax.jit(fn, out_shardings=None)
+        else:
+            fn = jax.jit(fn)
+        tb = fn(jax.random.key(42))
+        return np.asarray(tb.z), np.asarray(tb.valid)
+
+    z1, v1 = run(False)
+    z2, v2 = run(True)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(z1, z2, atol=1e-6)
