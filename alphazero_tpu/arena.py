@@ -151,6 +151,27 @@ class RandomPlayerSpec(PlayerSpec):
 
 
 @dataclasses.dataclass(frozen=True)
+class EpsilonGreedy(PlayerSpec):
+    """Wrapper mixing a uniform random move with probability eps
+    (``EpsilonGreedyPlayer``, ``src/play.jl:78-101``)."""
+
+    player: PlayerSpec
+    eps: float
+
+    def make_think(self, game, netspec):
+        inner, uses_net = self.player.make_think(game, netspec)
+
+        def think(net, states, turn, rng):
+            pi = inner(net, states, turn, rng)
+            mask = jax.vmap(game.legal_mask)(states)
+            uni = mask.astype(jnp.float32)
+            uni = uni / jnp.maximum(uni.sum(-1, keepdims=True), 1.0)
+            return (1.0 - self.eps) * pi + self.eps * uni
+
+        return think, uses_net
+
+
+@dataclasses.dataclass(frozen=True)
 class Duel:
     """Two-player benchmark evaluation spec (``Benchmark.Duel``,
     ``src/benchmark.jl:47-62``): ``player`` (instantiated with the current

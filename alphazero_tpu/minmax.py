@@ -106,10 +106,11 @@ class MinMaxPlayer:
     def think(self, game: Game, states):
         """Batched policy over [B] states; jit-compatible."""
         B = jax.tree.leaves(states)[0].shape[0]
-        cs = self.chunk_size or max(
-            1, min(B, (1 << 18) // max(game.num_actions ** self.depth, 1)))
-        if B % cs != 0:
-            cs = 1 if B % 2 else 2
+        ideal = max(1, min(B, (1 << 18)
+                           // max(game.num_actions ** self.depth, 1)))
+        cs = self.chunk_size
+        if cs is None:  # largest divisor of B not exceeding the ideal
+            cs = max(d for d in range(1, ideal + 1) if B % d == 0)
         chunks = jax.tree.map(
             lambda x: x.reshape((B // cs, cs) + x.shape[1:]), states)
 

@@ -79,6 +79,8 @@ class MCTSConfig:
     dirichlet_eps: float = 0.0
     dirichlet_alpha: float = 1.0
     prior_temperature: float = 1.0
+    # None: use the fused Pallas in-tree kernel on TPU, pure XLA elsewhere.
+    fused: Optional[bool] = None
 
 
 class Tree(NamedTuple):
@@ -89,12 +91,16 @@ class Tree(NamedTuple):
     simulation ended on a terminal node instead of expanding).
 
     ``AP`` is the action width padded up to a multiple of 8.
+
+    Slabs are laid out ``[N, W, B]`` with lanes minor: B is a multiple of
+    the 128-lane vector width in practice, giving perfectly tiled rows for
+    both XLA and the Pallas descent kernel.
     """
 
     states: Any             # pytree, leaves [N, B, ...]
-    meta: jnp.ndarray       # f32 [N, B, 8]: player, terminal, reward, value
-    prior_legal: jnp.ndarray  # f32 [N, B, 2*AP]: prior | legal(0/1)
-    stats: jnp.ndarray      # f32 [N, B, 3*AP]: qsum | visits | child+1
+    meta: jnp.ndarray       # f32 [N, 8, B]: player, terminal, reward, value
+    prior_legal: jnp.ndarray  # f32 [N, 2*AP, B]: prior | legal(0/1)
+    stats: jnp.ndarray      # f32 [N, 3*AP, B]: qsum | visits | child+1
 
 
 class SearchResults(NamedTuple):
@@ -111,9 +117,15 @@ def _pad_width(a: int) -> int:
 
 
 def _row_gather(x, idx):
-    """x: [N, B, W], idx: [B] -> [B, W] (per-lane node row lookup)."""
+    """x: [N, B, ...], idx: [B] -> [B, ...] (per-lane node row lookup)."""
     B = x.shape[1]
     return jax.vmap(lambda i, b: x[i, b])(idx, jnp.arange(B))
+
+
+def _slab_gather(x, idx):
+    """x: [N, W, B], idx: [B] -> [B, W] (per-lane node row lookup)."""
+    B = x.shape[2]
+    return jax.vmap(lambda i, b: x[i, :, b])(idx, jnp.arange(B))
 
 
 def _apply_prior_temperature(p, legal, tau):
@@ -133,23 +145,23 @@ def dirichlet_noise(key, legal, alpha):
 
 
 def _pack_meta(game: Game, states, value):
-    """[B, 8] meta rows for a batch of states."""
+    """[8, B] meta rows for a batch of states."""
     B = value.shape[0]
-    meta = jnp.zeros((B, _META_W), jnp.float32)
-    meta = meta.at[:, _PLAYER].set(
+    meta = jnp.zeros((_META_W, B), jnp.float32)
+    meta = meta.at[_PLAYER].set(
         jax.vmap(game.to_play)(states).astype(jnp.float32))
-    meta = meta.at[:, _TERMINAL].set(
+    meta = meta.at[_TERMINAL].set(
         jax.vmap(game.terminated)(states).astype(jnp.float32))
-    meta = meta.at[:, _REWARD].set(jax.vmap(game.reward)(states))
-    meta = meta.at[:, _VALUE].set(value.astype(jnp.float32))
+    meta = meta.at[_REWARD].set(jax.vmap(game.reward)(states))
+    meta = meta.at[_VALUE].set(value.astype(jnp.float32))
     return meta
 
 
 def _pack_prior_legal(p, legal, ap: int):
     B, A = p.shape
-    out = jnp.zeros((B, 2 * ap), jnp.float32)
-    out = out.at[:, :A].set(p)
-    out = out.at[:, ap:ap + A].set(legal.astype(jnp.float32))
+    out = jnp.zeros((2 * ap, B), jnp.float32)
+    out = out.at[:A].set(p.T)
+    out = out.at[ap:ap + A].set(legal.astype(jnp.float32).T)
     return out
 
 
@@ -167,12 +179,12 @@ def init_tree(game: Game, cfg: MCTSConfig, roots, root_p, root_v) -> Tree:
 
     meta0 = _pack_meta(game, roots, root_v)
     # the root's reward slot is never used; zero it for cleanliness
-    meta0 = meta0.at[:, _REWARD].set(0.0)
+    meta0 = meta0.at[_REWARD].set(0.0)
     return Tree(
         states=jax.tree.map(alloc, roots),
         meta=alloc(meta0),
         prior_legal=alloc(_pack_prior_legal(prior, root_legal, ap)),
-        stats=jnp.zeros((N, B, 3 * ap), jnp.float32),
+        stats=jnp.zeros((N, 3 * ap, B), jnp.float32),
     )
 
 
@@ -193,13 +205,13 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int
     """Walk every lane down its tree until an unexpanded edge or a terminal
     node is hit (the in-tree phase of ``run_simulation!``,
     ``src/mcts.jl:199-226``)."""
-    N, B = tree.meta.shape[:2]
+    N, _, B = tree.meta.shape
     A = num_actions
-    ap = tree.prior_legal.shape[-1] // 2
+    ap = tree.prior_legal.shape[1] // 2
     init = _SelectState(
         cur=jnp.zeros((B,), jnp.int32),
-        cur_terminal=tree.meta[0, :, _TERMINAL] > 0.5,
-        done=tree.meta[0, :, _TERMINAL] > 0.5,
+        cur_terminal=tree.meta[0, _TERMINAL] > 0.5,
+        done=tree.meta[0, _TERMINAL] > 0.5,
         expand_parent=jnp.full((B,), -1, jnp.int32),
         expand_action=jnp.zeros((B,), jnp.int32),
         depth=jnp.zeros((B,), jnp.int32),
@@ -212,8 +224,8 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int
         return jnp.any(~s.done) & (s.d < max_depth)
 
     def body(s):
-        stats = _row_gather(tree.stats, s.cur)          # [B, 3*ap]
-        pl = _row_gather(tree.prior_legal, s.cur)       # [B, 2*ap]
+        stats = _slab_gather(tree.stats, s.cur)         # [B, 3*ap]
+        pl = _slab_gather(tree.prior_legal, s.cur)      # [B, 2*ap]
         qsum = stats[:, :A]
         nvis = stats[:, ap:ap + A]
         childp1 = stats[:, 2 * ap:2 * ap + A]
@@ -244,7 +256,7 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int
         needs_expand = active & (child < 0)
         expand_parent = jnp.where(needs_expand, s.cur, s.expand_parent)
         expand_action = jnp.where(needs_expand, action, s.expand_action)
-        child_meta = _row_gather(tree.meta, jnp.maximum(child, 0))
+        child_meta = _slab_gather(tree.meta, jnp.maximum(child, 0))
         child_terminal = child_meta[:, _TERMINAL] > 0.5
         done = s.done | needs_expand | (active & child_terminal)
         cur = jnp.where(active & ~needs_expand, child, s.cur)
@@ -257,14 +269,33 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int
     return jax.lax.while_loop(cond, body, init)
 
 
+def _q_chain(r, f, depth, leaf_value, gamma: float, D: int):
+    """Closed-form backprop values from per-edge rewards/sign factors.
+
+    The recursion ``q_d = r_d + gamma * f_d * q_{d+1}`` (``src/mcts.jl:
+    214-221``) telescopes with the prefix factor ``h_d = gamma^d *
+    prod_{j<d} f_j`` into ``h_d q_d = sum_{k>=d} h_k r_k + h_depth v`` —
+    one reverse cumulative sum.  ``r``/``f`` are zero/one beyond the path.
+    """
+    B = r.shape[0]
+    didx = jnp.arange(D)[None, :]
+    on_path = didx < depth[:, None]
+    f_excl = jnp.concatenate([jnp.ones((B, 1)), f[:, :-1]], axis=1)
+    h = (gamma ** didx.astype(jnp.float32)) * jnp.cumprod(f_excl, axis=1)
+    h_ext = jnp.concatenate([h, h[:, -1:] * f[:, -1:] * gamma], axis=1)
+    h_leaf = jax.vmap(lambda row, i: row[i])(h_ext, depth)
+    rev_cumsum = jnp.cumsum((h * r)[:, ::-1], axis=1)[:, ::-1]
+    s_vals = rev_cumsum + (h_leaf * leaf_value)[:, None]
+    return jnp.where(on_path, s_vals / h, 0.0), on_path
+
+
 def _edge_updates(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
                   cfg: MCTSConfig, max_depth: int, num_actions: int):
-    """Closed-form backprop: per-edge q values and visit increments.
+    """Per-edge rewards/signs via meta gathers (XLA path), then ``_q_chain``.
 
-    Returns ``(q_edges [B, D], on_path [B, D], nodes, actions)`` where
-    ``q_edges`` follows ``src/mcts.jl:214-221`` exactly (see module doc).
+    Returns ``(q_edges [B, D], on_path [B, D], nodes, actions)``.
     """
-    N, B = tree.meta.shape[:2]
+    N, _, B = tree.meta.shape
     D = max_depth
     brange = jnp.arange(B)
     didx = jnp.arange(D)[None, :]
@@ -278,7 +309,7 @@ def _edge_updates(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
     childs = jnp.where(on_path, childs, 0)
 
     def meta_take(idx):  # [B, D] node indices -> [B, D, META_W]
-        return jax.vmap(lambda irow, b: tree.meta[irow, b])(idx, brange)
+        return jax.vmap(lambda irow, b: tree.meta[irow, :, b])(idx, brange)
 
     m_parent = meta_take(nodes)
     m_child = meta_take(childs)
@@ -286,14 +317,7 @@ def _edge_updates(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
     r = jnp.where(m_parent[..., _PLAYER] == envcore.WHITE, r_white, -r_white)
     r = jnp.where(on_path, r, 0.0)
     f = jnp.where(m_parent[..., _PLAYER] == m_child[..., _PLAYER], 1.0, -1.0)
-    f_excl = jnp.concatenate([jnp.ones((B, 1)), f[:, :-1]], axis=1)
-    h = (cfg.gamma ** didx.astype(jnp.float32)) * jnp.cumprod(f_excl, axis=1)
-    h_ext = jnp.concatenate([h, h[:, -1:] * f[:, -1:] * cfg.gamma], axis=1)
-    h_leaf = jax.vmap(lambda row, i: row[i])(h_ext, sel.depth)
-    hr = h * r
-    rev_cumsum = jnp.cumsum(hr[:, ::-1], axis=1)[:, ::-1]
-    s_vals = rev_cumsum + (h_leaf * leaf_value)[:, None]
-    q_edges = jnp.where(on_path, s_vals / h, 0.0)
+    q_edges, on_path = _q_chain(r, f, sel.depth, leaf_value, cfg.gamma, D)
     return q_edges, on_path, nodes, actions
 
 
@@ -321,13 +345,15 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
     brange = jnp.arange(B)
 
     step_keys = jax.random.split(rng, cfg.num_sims)
+    use_fused = cfg.fused
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
 
-    def sim_body(i, carry):
-        tree, traversed = carry
-        sel = _select(tree, eta, cfg, max_depth, A)
-        expanding = sel.expand_parent >= 0
-        # --- expand: step the env over the expansion edge ------------------
-        parent_idx = jnp.maximum(sel.expand_parent, 0)
+    def expand(tree, i, expand_parent, expand_action):
+        """Step the env over the expansion edge and write the new node's
+        slot (same index for every lane -> in-place contiguous DUS)."""
+        expanding = expand_parent >= 0
+        parent_idx = jnp.maximum(expand_parent, 0)
         parent_states = jax.tree.map(
             lambda x: _row_gather(x.reshape(x.shape[:2] + (-1,)), parent_idx
                                   ).reshape((B,) + x.shape[2:]),
@@ -335,72 +361,131 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             step_keys[i - 1], brange)
         child_states = jax.vmap(game.step)(
-            parent_states, sel.expand_action, keys)
+            parent_states, expand_action, keys)
         child_obs = jax.vmap(game.observe)(child_states)
         child_mask = jax.vmap(game.legal_mask)(child_states)
         child_p, child_v = oracle(child_states, child_obs, child_mask)
         child_terminal = jax.vmap(game.terminated)(child_states)
         child_prior = _apply_prior_temperature(
             child_p, child_mask, cfg.prior_temperature)
-        # write the new node's slot (same index for every lane -> in-place
-        # contiguous dynamic-update-slices)
 
-        def put(arr, val):
+        def put(arr, val, lane_axis):
+            """DUS the [1, ...] slice ``val`` at node slot i; lanes where
+            nothing expands keep their old row.  ``lane_axis`` is the lane
+            dimension of ``arr`` (1 for state pytrees, last for slabs)."""
             old = jax.lax.dynamic_slice_in_dim(arr, i, 1, axis=0)
-            sel_mask = expanding.reshape((1, B) + (1,) * (val.ndim - 2))
-            new = jnp.where(sel_mask, val, old)
+            shape = [1] * arr.ndim
+            shape[lane_axis] = B
+            new = jnp.where(expanding.reshape(shape), val, old)
             return jax.lax.dynamic_update_slice_in_dim(arr, new, i, axis=0)
 
         tree = tree._replace(
             states=jax.tree.map(
-                lambda a, v: put(a, v[None]), tree.states, child_states),
-            meta=put(tree.meta, _pack_meta(game, child_states, child_v)[None]),
+                lambda a, v: put(a, v[None], 1), tree.states, child_states),
+            meta=put(tree.meta,
+                     _pack_meta(game, child_states, child_v)[None], 2),
             prior_legal=put(tree.prior_legal,
                             _pack_prior_legal(child_prior, child_mask,
-                                              ap)[None]),
+                                              ap)[None], 2),
         )
-        # --- leaf value ----------------------------------------------------
-        # expansion: oracle value (0 if the new node is terminal,
-        # ``src/mcts.jl:200-201,205-207``); terminal descent: 0.
-        leaf_node = jnp.where(expanding, i, sel.cur).astype(jnp.int32)
+        # leaf value: oracle value at the new node (0 if terminal,
+        # ``src/mcts.jl:200-201,205-207``); terminal descents use 0.
         leaf_value = jnp.where(expanding & ~child_terminal, child_v, 0.0)
-        # --- single fused scatter: qsum adds, visit adds, child install ----
-        q_edges, on_path, nodes, actions = _edge_updates(
-            tree, sel, leaf_node, leaf_value.astype(jnp.float32), cfg,
-            max_depth, A)
-        S = 3 * ap
-        base = (nodes * B + brange[:, None]) * S + actions
-        oob = N * B * S
+        return tree, child_states, leaf_value.astype(jnp.float32), parent_idx
+
+    S = 3 * ap
+    oob = N * B * S
+
+    def apply_update_xla(stats, nodes, actions, on_path, q_edges,
+                         expanding, parent_idx, expand_action, child_val):
+        base = (nodes * S + actions) * B + brange[:, None]
         idx_q = jnp.where(on_path, base, oob)
-        idx_v = jnp.where(on_path, base + ap, oob)
+        idx_v = jnp.where(on_path, base + ap * B, oob)
         idx_c = jnp.where(
             expanding,
-            (parent_idx * B + brange) * S + 2 * ap + sel.expand_action,
+            (parent_idx * S + 2 * ap + expand_action) * B + brange,
             oob)
         all_idx = jnp.concatenate(
             [idx_q.reshape(-1), idx_v.reshape(-1), idx_c])
         all_upd = jnp.concatenate(
             [q_edges.reshape(-1),
              on_path.astype(jnp.float32).reshape(-1),
-             jnp.full((B,), float(0), jnp.float32) + (i + 1.0)])
-        stats = tree.stats.reshape(-1).at[all_idx].add(
-            all_upd, mode="drop", unique_indices=True).reshape(N, B, S)
-        tree = tree._replace(stats=stats)
-        return tree, traversed + jnp.sum(sel.depth)
+             child_val])
+        return stats.reshape(-1).at[all_idx].add(
+            all_upd, mode="drop", unique_indices=True).reshape(N, S, B)
 
-    tree, traversed = jax.lax.fori_loop(
-        1, cfg.num_sims + 1, sim_body, (tree, jnp.zeros((), jnp.int32)))
+    if not use_fused:
+        def sim_body(i, carry):
+            tree, traversed = carry
+            sel = _select(tree, eta, cfg, max_depth, A)
+            expanding = sel.expand_parent >= 0
+            tree, child_states, leaf_value, parent_idx = expand(
+                tree, i, sel.expand_parent, sel.expand_action)
+            leaf_node = jnp.where(expanding, i, sel.cur).astype(jnp.int32)
+            q_edges, on_path, nodes, actions = _edge_updates(
+                tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
+            stats = apply_update_xla(
+                tree.stats, nodes, actions, on_path, q_edges, expanding,
+                parent_idx, sel.expand_action,
+                jnp.full((B,), 0.0, jnp.float32) + (i + 1.0))
+            tree = tree._replace(stats=stats)
+            return tree, traversed + jnp.sum(sel.depth)
 
-    root_visits = tree.stats[0, :, ap:ap + A].astype(jnp.int32)
+        tree, traversed = jax.lax.fori_loop(
+            1, cfg.num_sims + 1, sim_body, (tree, jnp.zeros((), jnp.int32)))
+    else:
+        from ..ops import fused_mcts as FM
+
+        interpret = jax.default_backend() != "tpu"
+        didx = jnp.arange(max_depth)[None, :]
+
+        def sim_body_fused(i, carry):
+            tree, traversed = carry
+            out = FM.pallas_select(
+                tree.stats, tree.prior_legal, tree.meta, eta.T,
+                max_depth=max_depth, cpuct=cfg.cpuct,
+                eps=cfg.dirichlet_eps, interpret=interpret)
+            expanding = out.expand_parent >= 0
+            tree, child_states, leaf_value, parent_idx = expand(
+                tree, i, out.expand_parent, out.expand_action)
+            # patch the final edge's reward/sign for expansion lanes (the
+            # kernel couldn't see the not-yet-created child)
+            parent_player = _slab_gather(tree.meta, parent_idx)[:, _PLAYER]
+            cs_reward = jax.vmap(game.reward)(child_states)
+            cs_player = jax.vmap(game.to_play)(child_states).astype(
+                jnp.float32)
+            r_new = jnp.where(parent_player == envcore.WHITE,
+                              cs_reward, -cs_reward)
+            f_new = jnp.where(parent_player == cs_player, 1.0, -1.0)
+            last_col = didx == (out.depth[:, None] - 1)
+            patch = (expanding[:, None] & last_col)
+            r = jnp.where(patch, r_new[:, None], out.r_edges)
+            f = jnp.where(patch, f_new[:, None], out.f_edges)
+            q_edges, on_path = _q_chain(r, f, out.depth, leaf_value,
+                                        cfg.gamma, max_depth)
+            stats = apply_update_xla(
+                tree.stats,
+                jnp.where(on_path, out.path_nodes, 0),
+                jnp.where(on_path, out.path_actions, 0),
+                on_path, q_edges, expanding, parent_idx, out.expand_action,
+                jnp.full((B,), 0.0, jnp.float32) + (i + 1.0))
+            tree = tree._replace(stats=stats)
+            return tree, traversed + jnp.sum(out.depth)
+
+        tree, traversed = jax.lax.fori_loop(
+            1, cfg.num_sims + 1, sim_body_fused,
+            (tree, jnp.zeros((), jnp.int32)))
+
+    root_visits = tree.stats[0, ap:ap + A, :].T.astype(jnp.int32)
     ntot = jnp.sum(root_visits, -1, keepdims=True).astype(jnp.float32)
     policy = root_visits.astype(jnp.float32) / jnp.maximum(ntot, 1.0)
-    root_q = tree.stats[0, :, :A] / jnp.maximum(
+    root_q = tree.stats[0, :A, :].T / jnp.maximum(
         root_visits.astype(jnp.float32), 1.0)
     return SearchResults(
         policy=policy,
         root_visits=root_visits,
         root_q=root_q,
-        root_value=tree.meta[0, :, _VALUE],
+        root_value=tree.meta[0, _VALUE],
         nodes_traversed=traversed,
         tree=tree,
     )

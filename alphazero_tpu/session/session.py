@@ -220,6 +220,34 @@ class Session(training.Handlers):
             # exit cleanly with the last iteration saved (session.jl:317-320)
             self.logger.print("Interrupted: last completed iteration saved.")
 
+    def run_new_benchmark(self, benchmark, out_name: str = "new_benchmark"):
+        """Re-run a (possibly new) benchmark suite over saved per-iteration
+        environments (``session.jl:549-570``; requires sessions trained with
+        ``save_intermediate=True``)."""
+        results = []
+        iters = sorted(
+            int(d.split("_")[1]) for d in os.listdir(self.dir)
+            if d.startswith("iter_") and
+            os.path.isdir(os.path.join(self.dir, d)))
+        for itc in iters:
+            sub = Session(self.experiment,
+                          dir=os.path.join(self.dir, f"iter_{itc}"),
+                          autosave=False, quiet=True)
+            evals = []
+            for item in benchmark:
+                ev = arenamod.run_benchmark_item(
+                    sub.env.game, sub.env.netspec, sub.env.bestnn, item,
+                    sub.env.next_key(),
+                    gamma=sub.env.params.self_play.mcts.gamma)
+                evals.append(R.to_dict(ev))
+            results.append({"iteration": itc, "evaluations": evals})
+        out = os.path.join(self.dir, f"{out_name}.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+        self.logger.print(f"re-ran benchmark over {len(iters)} saved "
+                          f"iterations -> {out}")
+        return results
+
     # ---- Handlers implementation (``session.jl:468-538``) ---------------
 
     def iteration_started(self, env):
