@@ -45,7 +45,9 @@ class SelectOut(NamedTuple):
 
 
 def _pick_lanes_per_block(B: int, bytes_per_lane: int,
-                          budget: int = 8 * 2**20) -> int:
+                          budget: int = 5 * 2**20) -> int:
+    # budget covers ONE set of input blocks; the pipeline double-buffers
+    # them, and outputs/carries take ~2 MB more, against a 16 MB VMEM cap.
     lb = min(B, 128)
     while lb * 2 <= B and B % (lb * 2) == 0 and \
             (lb * 2) * bytes_per_lane <= budget:
@@ -74,11 +76,31 @@ def _kernel(ap: int, max_depth: int, cpuct: float, eps: float,
         oh = (iota_n == cur[None]).astype(jnp.float32)   # [N, 1, LB]
         return jnp.sum(slab * oh, axis=0)
 
+    def field(mat, k):
+        """Extract row ``k`` of ``mat [W, LB]`` as [1, LB] with a canonical
+        vector layout (a direct ``mat[k:k+1]`` slice would carry a sublane
+        offset that Mosaic cannot reconcile across while-loop carries)."""
+        sel = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0) == k
+        return jnp.sum(jnp.where(sel, mat, 0.0), axis=0, keepdims=True)
+
+    def cc(x):
+        """Force a concrete (non-replicated) vector layout: Mosaic cannot
+        legalize while-loop yields whose operands mix replicated and
+        concrete sublane layouts.  (Carries are all numeric; i1 vectors
+        additionally hit unsupported truncations.)"""
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        return jnp.where(lane < 0, x + jnp.ones((), x.dtype), x)
+
+    def ccC(c):
+        return C(c.d, cc(c.cur), cc(c.player), cc(c.done), cc(c.parent),
+                 cc(c.eaction), cc(c.depth), cc(c.pn), cc(c.pa), cc(c.re),
+                 cc(c.fe))
+
     class C(NamedTuple):
         d: jnp.ndarray
         cur: jnp.ndarray         # [1, LB] i32
         player: jnp.ndarray      # [1, LB] f32
-        done: jnp.ndarray        # [1, LB] bool
+        done: jnp.ndarray        # [1, LB] i32 (0/1)
         parent: jnp.ndarray      # [1, LB] i32
         eaction: jnp.ndarray     # [1, LB] i32
         depth: jnp.ndarray       # [1, LB] i32
@@ -89,8 +111,8 @@ def _kernel(ap: int, max_depth: int, cpuct: float, eps: float,
 
     init = C(d=jnp.zeros((), jnp.int32),
              cur=jnp.zeros((1, LB), jnp.int32),
-             player=meta[0, 0:1],
-             done=meta[0, 1:2] > 0.5,
+             player=field(meta[0], 0),
+             done=(field(meta[0], 1) > 0.5).astype(jnp.int32),
              parent=jnp.full((1, LB), -1, jnp.int32),
              eaction=jnp.zeros((1, LB), jnp.int32),
              depth=jnp.zeros((1, LB), jnp.int32),
@@ -100,7 +122,7 @@ def _kernel(ap: int, max_depth: int, cpuct: float, eps: float,
              fe=jnp.ones((D, LB), jnp.float32))
 
     def cond(c):
-        return jnp.logical_and(jnp.any(~c.done), c.d < D)
+        return jnp.logical_and(jnp.any(c.done == 0), c.d < D)
 
     def body(c):
         srow = row(stats, c.cur)             # [3ap, LB]
@@ -121,7 +143,7 @@ def _kernel(ap: int, max_depth: int, cpuct: float, eps: float,
         a_oh = (iota_a == action).astype(jnp.float32)
         child = jnp.sum(childp1 * a_oh, axis=0, keepdims=True) - 1.0
         child = child.astype(jnp.int32)      # [1, LB], -1 = unexpanded
-        active = ~c.done
+        active = c.done == 0                 # [1, LB] bool (local)
         at_d = iota_d == c.d                 # [D, LB]
         pn = jnp.where(at_d & active, c.cur, c.pn)
         pa = jnp.where(at_d & active, action, c.pa)
@@ -130,21 +152,22 @@ def _kernel(ap: int, max_depth: int, cpuct: float, eps: float,
         parent = jnp.where(needs_expand, c.cur, c.parent)
         eaction = jnp.where(needs_expand, action, c.eaction)
         mrow = row(meta, jnp.maximum(child, 0))   # [8, LB]
-        child_player = mrow[0:1]
-        child_terminal = mrow[1:2] > 0.5
-        r_white = mrow[2:3]
+        child_player = field(mrow, 0)
+        child_terminal = field(mrow, 1) > 0.5
+        r_white = field(mrow, 2)
         descending = active & ~needs_expand
         r = jnp.where(c.player == 0.0, r_white, -r_white)
         f = jnp.where(c.player == child_player, 1.0, -1.0)
         re = jnp.where(at_d & descending, r, c.re)
         fe = jnp.where(at_d & descending, f, c.fe)
-        done = c.done | needs_expand | (active & child_terminal)
+        done = ((c.done > 0) | needs_expand
+                | (active & child_terminal)).astype(jnp.int32)
         cur = jnp.where(descending, child, c.cur)
         player = jnp.where(descending, child_player, c.player)
         return C(c.d + 1, cur, player, done, parent, eaction, depth,
                  pn, pa, re, fe)
 
-    final = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, lambda c: ccC(body(c)), ccC(init))
     par_out[...] = final.parent
     act_out[...] = final.eaction
     cur_out[...] = final.cur

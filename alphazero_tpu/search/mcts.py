@@ -79,7 +79,10 @@ class MCTSConfig:
     dirichlet_eps: float = 0.0
     dirichlet_alpha: float = 1.0
     prior_temperature: float = 1.0
-    # None: use the fused Pallas in-tree kernel on TPU, pure XLA elsewhere.
+    # True: use the Pallas descent kernel (ops/fused_mcts.py).  Default off:
+    # at flagship tree sizes the kernel's one-hot row gathers are O(N) per
+    # step and only break even with the tuned XLA path; it becomes the
+    # default once the scalar-prefetch update kernel lands.
     fused: Optional[bool] = None
 
 
@@ -345,9 +348,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
     brange = jnp.arange(B)
 
     step_keys = jax.random.split(rng, cfg.num_sims)
-    use_fused = cfg.fused
-    if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+    use_fused = bool(cfg.fused)
 
     def expand(tree, i, expand_parent, expand_action):
         """Step the env over the expansion edge and write the new node's

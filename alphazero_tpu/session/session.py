@@ -121,7 +121,8 @@ class Session(training.Handlers):
             meta = json.load(f)
         with open(os.path.join(self.dir, "netspec.json")) as f:
             saved_spec = json.load(f)
-        if saved_spec != e.netspec.to_json():
+        # normalize through JSON (tuples become lists) before comparing
+        if saved_spec != json.loads(json.dumps(e.netspec.to_json())):
             raise ValueError(
                 "Session directory was created with a different network "
                 f"spec: {saved_spec} != {e.netspec.to_json()}")
