@@ -95,15 +95,14 @@ class Tree(NamedTuple):
 
     ``AP`` is the action width padded up to a multiple of 8.
 
-    Slabs are laid out ``[N, W, B]`` with lanes minor: B is a multiple of
-    the 128-lane vector width in practice, giving perfectly tiled rows for
-    both XLA and the Pallas descent kernel.
+    Slabs are laid out ``[N, B, W]``: per-node rows are then contiguous,
+    which the Pallas update kernel needs for in-place per-lane row writes.
     """
 
     states: Any             # pytree, leaves [N, B, ...]
-    meta: jnp.ndarray       # f32 [N, 8, B]: player, terminal, reward, value
-    prior_legal: jnp.ndarray  # f32 [N, 2*AP, B]: prior | legal(0/1)
-    stats: jnp.ndarray      # f32 [N, 3*AP, B]: qsum | visits | child+1
+    meta: jnp.ndarray       # f32 [N, B, 8]: player, terminal, reward, value
+    prior_legal: jnp.ndarray  # f32 [N, B, 2*AP]: prior | legal(0/1)
+    stats: jnp.ndarray      # f32 [N, B, 3*AP]: qsum | visits | child+1
 
 
 class SearchResults(NamedTuple):
@@ -126,9 +125,8 @@ def _row_gather(x, idx):
 
 
 def _slab_gather(x, idx):
-    """x: [N, W, B], idx: [B] -> [B, W] (per-lane node row lookup)."""
-    B = x.shape[2]
-    return jax.vmap(lambda i, b: x[i, :, b])(idx, jnp.arange(B))
+    """x: [N, B, W], idx: [B] -> [B, W] (per-lane node row lookup)."""
+    return _row_gather(x, idx)
 
 
 def _apply_prior_temperature(p, legal, tau):
@@ -148,23 +146,23 @@ def dirichlet_noise(key, legal, alpha):
 
 
 def _pack_meta(game: Game, states, value):
-    """[8, B] meta rows for a batch of states."""
+    """[B, 8] meta rows for a batch of states."""
     B = value.shape[0]
-    meta = jnp.zeros((_META_W, B), jnp.float32)
-    meta = meta.at[_PLAYER].set(
+    meta = jnp.zeros((B, _META_W), jnp.float32)
+    meta = meta.at[:, _PLAYER].set(
         jax.vmap(game.to_play)(states).astype(jnp.float32))
-    meta = meta.at[_TERMINAL].set(
+    meta = meta.at[:, _TERMINAL].set(
         jax.vmap(game.terminated)(states).astype(jnp.float32))
-    meta = meta.at[_REWARD].set(jax.vmap(game.reward)(states))
-    meta = meta.at[_VALUE].set(value.astype(jnp.float32))
+    meta = meta.at[:, _REWARD].set(jax.vmap(game.reward)(states))
+    meta = meta.at[:, _VALUE].set(value.astype(jnp.float32))
     return meta
 
 
 def _pack_prior_legal(p, legal, ap: int):
     B, A = p.shape
-    out = jnp.zeros((2 * ap, B), jnp.float32)
-    out = out.at[:A].set(p.T)
-    out = out.at[ap:ap + A].set(legal.astype(jnp.float32).T)
+    out = jnp.zeros((B, 2 * ap), jnp.float32)
+    out = out.at[:, :A].set(p)
+    out = out.at[:, ap:ap + A].set(legal.astype(jnp.float32))
     return out
 
 
@@ -182,12 +180,12 @@ def init_tree(game: Game, cfg: MCTSConfig, roots, root_p, root_v) -> Tree:
 
     meta0 = _pack_meta(game, roots, root_v)
     # the root's reward slot is never used; zero it for cleanliness
-    meta0 = meta0.at[_REWARD].set(0.0)
+    meta0 = meta0.at[:, _REWARD].set(0.0)
     return Tree(
         states=jax.tree.map(alloc, roots),
         meta=alloc(meta0),
         prior_legal=alloc(_pack_prior_legal(prior, root_legal, ap)),
-        stats=jnp.zeros((N, 3 * ap, B), jnp.float32),
+        stats=jnp.zeros((N, B, 3 * ap), jnp.float32),
     )
 
 
@@ -208,13 +206,13 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int
     """Walk every lane down its tree until an unexpanded edge or a terminal
     node is hit (the in-tree phase of ``run_simulation!``,
     ``src/mcts.jl:199-226``)."""
-    N, _, B = tree.meta.shape
+    N, B = tree.meta.shape[:2]
     A = num_actions
-    ap = tree.prior_legal.shape[1] // 2
+    ap = tree.prior_legal.shape[-1] // 2
     init = _SelectState(
         cur=jnp.zeros((B,), jnp.int32),
-        cur_terminal=tree.meta[0, _TERMINAL] > 0.5,
-        done=tree.meta[0, _TERMINAL] > 0.5,
+        cur_terminal=tree.meta[0, :, _TERMINAL] > 0.5,
+        done=tree.meta[0, :, _TERMINAL] > 0.5,
         expand_parent=jnp.full((B,), -1, jnp.int32),
         expand_action=jnp.zeros((B,), jnp.int32),
         depth=jnp.zeros((B,), jnp.int32),
@@ -298,7 +296,7 @@ def _edge_updates(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
 
     Returns ``(q_edges [B, D], on_path [B, D], nodes, actions)``.
     """
-    N, _, B = tree.meta.shape
+    N, B = tree.meta.shape[:2]
     D = max_depth
     brange = jnp.arange(B)
     didx = jnp.arange(D)[None, :]
@@ -312,7 +310,7 @@ def _edge_updates(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
     childs = jnp.where(on_path, childs, 0)
 
     def meta_take(idx):  # [B, D] node indices -> [B, D, META_W]
-        return jax.vmap(lambda irow, b: tree.meta[irow, :, b])(idx, brange)
+        return jax.vmap(lambda irow, b: tree.meta[irow, b])(idx, brange)
 
     m_parent = meta_take(nodes)
     m_child = meta_take(childs)
@@ -370,24 +368,22 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         child_prior = _apply_prior_temperature(
             child_p, child_mask, cfg.prior_temperature)
 
-        def put(arr, val, lane_axis):
-            """DUS the [1, ...] slice ``val`` at node slot i; lanes where
-            nothing expands keep their old row.  ``lane_axis`` is the lane
-            dimension of ``arr`` (1 for state pytrees, last for slabs)."""
+        def put(arr, val):
+            """DUS the [1, B, ...] slice ``val`` at node slot i; lanes where
+            nothing expands keep their old row."""
             old = jax.lax.dynamic_slice_in_dim(arr, i, 1, axis=0)
-            shape = [1] * arr.ndim
-            shape[lane_axis] = B
-            new = jnp.where(expanding.reshape(shape), val, old)
+            sel_mask = expanding.reshape((1, B) + (1,) * (val.ndim - 2))
+            new = jnp.where(sel_mask, val, old)
             return jax.lax.dynamic_update_slice_in_dim(arr, new, i, axis=0)
 
         tree = tree._replace(
             states=jax.tree.map(
-                lambda a, v: put(a, v[None], 1), tree.states, child_states),
+                lambda a, v: put(a, v[None]), tree.states, child_states),
             meta=put(tree.meta,
-                     _pack_meta(game, child_states, child_v)[None], 2),
+                     _pack_meta(game, child_states, child_v)[None]),
             prior_legal=put(tree.prior_legal,
                             _pack_prior_legal(child_prior, child_mask,
-                                              ap)[None], 2),
+                                              ap)[None]),
         )
         # leaf value: oracle value at the new node (0 if terminal,
         # ``src/mcts.jl:200-201,205-207``); terminal descents use 0.
@@ -399,12 +395,12 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
 
     def apply_update_xla(stats, nodes, actions, on_path, q_edges,
                          expanding, parent_idx, expand_action, child_val):
-        base = (nodes * S + actions) * B + brange[:, None]
+        base = (nodes * B + brange[:, None]) * S + actions
         idx_q = jnp.where(on_path, base, oob)
-        idx_v = jnp.where(on_path, base + ap * B, oob)
+        idx_v = jnp.where(on_path, base + ap, oob)
         idx_c = jnp.where(
             expanding,
-            (parent_idx * S + 2 * ap + expand_action) * B + brange,
+            (parent_idx * B + brange) * S + 2 * ap + expand_action,
             oob)
         all_idx = jnp.concatenate(
             [idx_q.reshape(-1), idx_v.reshape(-1), idx_c])
@@ -413,7 +409,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
              on_path.astype(jnp.float32).reshape(-1),
              child_val])
         return stats.reshape(-1).at[all_idx].add(
-            all_upd, mode="drop", unique_indices=True).reshape(N, S, B)
+            all_upd, mode="drop", unique_indices=True).reshape(N, B, S)
 
     if not use_fused:
         def sim_body(i, carry):
@@ -435,58 +431,42 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         tree, traversed = jax.lax.fori_loop(
             1, cfg.num_sims + 1, sim_body, (tree, jnp.zeros((), jnp.int32)))
     else:
-        from ..ops import fused_mcts as FM
+        from ..ops import pallas_update as PU
 
         interpret = jax.default_backend() != "tpu"
-        didx = jnp.arange(max_depth)[None, :]
 
         def sim_body_fused(i, carry):
             tree, traversed = carry
-            out = FM.pallas_select(
-                tree.stats, tree.prior_legal, tree.meta, eta.T,
-                max_depth=max_depth, cpuct=cfg.cpuct,
-                eps=cfg.dirichlet_eps, interpret=interpret)
-            expanding = out.expand_parent >= 0
+            sel = _select(tree, eta, cfg, max_depth, A)
+            expanding = sel.expand_parent >= 0
             tree, child_states, leaf_value, parent_idx = expand(
-                tree, i, out.expand_parent, out.expand_action)
-            # patch the final edge's reward/sign for expansion lanes (the
-            # kernel couldn't see the not-yet-created child)
-            parent_player = _slab_gather(tree.meta, parent_idx)[:, _PLAYER]
-            cs_reward = jax.vmap(game.reward)(child_states)
-            cs_player = jax.vmap(game.to_play)(child_states).astype(
-                jnp.float32)
-            r_new = jnp.where(parent_player == envcore.WHITE,
-                              cs_reward, -cs_reward)
-            f_new = jnp.where(parent_player == cs_player, 1.0, -1.0)
-            last_col = didx == (out.depth[:, None] - 1)
-            patch = (expanding[:, None] & last_col)
-            r = jnp.where(patch, r_new[:, None], out.r_edges)
-            f = jnp.where(patch, f_new[:, None], out.f_edges)
-            q_edges, on_path = _q_chain(r, f, out.depth, leaf_value,
-                                        cfg.gamma, max_depth)
-            stats = apply_update_xla(
-                tree.stats,
-                jnp.where(on_path, out.path_nodes, 0),
-                jnp.where(on_path, out.path_actions, 0),
-                on_path, q_edges, expanding, parent_idx, out.expand_action,
-                jnp.full((B,), 0.0, jnp.float32) + (i + 1.0))
+                tree, i, sel.expand_parent, sel.expand_action)
+            leaf_node = jnp.where(expanding, i, sel.cur).astype(jnp.int32)
+            q_edges, on_path, nodes, actions = _edge_updates(
+                tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
+            stats = PU.pallas_update(
+                tree.stats, nodes, actions, sel.depth,
+                jnp.where(on_path, q_edges, 0.0),
+                jnp.where(expanding, parent_idx, -1), sel.expand_action,
+                jnp.full((B,), 0.0, jnp.float32) + (i + 1.0),
+                interpret=interpret)
             tree = tree._replace(stats=stats)
-            return tree, traversed + jnp.sum(out.depth)
+            return tree, traversed + jnp.sum(sel.depth)
 
         tree, traversed = jax.lax.fori_loop(
             1, cfg.num_sims + 1, sim_body_fused,
             (tree, jnp.zeros((), jnp.int32)))
 
-    root_visits = tree.stats[0, ap:ap + A, :].T.astype(jnp.int32)
+    root_visits = tree.stats[0, :, ap:ap + A].astype(jnp.int32)
     ntot = jnp.sum(root_visits, -1, keepdims=True).astype(jnp.float32)
     policy = root_visits.astype(jnp.float32) / jnp.maximum(ntot, 1.0)
-    root_q = tree.stats[0, :A, :].T / jnp.maximum(
+    root_q = tree.stats[0, :, :A] / jnp.maximum(
         root_visits.astype(jnp.float32), 1.0)
     return SearchResults(
         policy=policy,
         root_visits=root_visits,
         root_q=root_q,
-        root_value=tree.meta[0, _VALUE],
+        root_value=tree.meta[0, :, _VALUE],
         nodes_traversed=traversed,
         tree=tree,
     )
