@@ -32,11 +32,21 @@ from .envs import core as envcore
 from .envs.core import Game
 from .minmax import MinMaxPlayer
 from .models.interface import NetState, Network, NetworkSpec
-from .search import mcts
+from .search import gumbel, mcts
 from .utils.schedules import ConstSchedule
 
 
-def mcts_config(p: cfgmod.MctsParams) -> mcts.MCTSConfig:
+def mcts_config(p: cfgmod.MctsParams):
+    """Build the search config from params; dispatches on ``p.algorithm``."""
+    if p.algorithm == "gumbel":
+        return gumbel.GumbelConfig(
+            num_sims=p.num_iters_per_turn,
+            max_considered=p.gumbel_max_considered,
+            c_visit=p.gumbel_c_visit,
+            c_scale=p.gumbel_c_scale,
+            gamma=p.gamma,
+            prior_temperature=p.prior_temperature,
+        )
     return mcts.MCTSConfig(
         num_sims=p.num_iters_per_turn,
         gamma=p.gamma,
@@ -45,6 +55,25 @@ def mcts_config(p: cfgmod.MctsParams) -> mcts.MCTSConfig:
         dirichlet_alpha=p.dirichlet_noise_alpha,
         prior_temperature=p.prior_temperature,
     )
+
+
+def run_search(game: Game, oracle, states, rng, cfg):
+    """Dispatch to the configured search; returns an object with
+    ``policy`` / ``root_visits`` / ``root_q`` / ``nodes_traversed`` and,
+    for Gumbel, a recommended ``action``."""
+    if isinstance(cfg, gumbel.GumbelConfig):
+        return gumbel.search(game, oracle, states, rng, cfg)
+    return mcts.search(game, oracle, states, rng, cfg)
+
+
+def search_pi_sample(game: Game, oracle, states, rng, cfg, tau):
+    """Action-selection distribution for a move: temperature-annealed visit
+    policy for PUCT (``src/play.jl:48-53``), one-hot halving argmax for
+    Gumbel (the policy-improvement guarantee plays the argmax)."""
+    res = run_search(game, oracle, states, rng, cfg)
+    if isinstance(cfg, gumbel.GumbelConfig):
+        return jax.nn.one_hot(res.action, game.num_actions)
+    return envcore.apply_temperature(res.policy, tau)
 
 
 class PlayerSpec:
@@ -73,9 +102,8 @@ class Full(PlayerSpec):
             def oracle(sts, obs, mask):
                 p, _, v, _ = network.forward_normalized(net, obs, mask)
                 return p, v
-            res = mcts.search(game, oracle, states, rng, cfg)
-            return envcore.apply_temperature(
-                res.policy, self.mcts.temperature(turn))
+            return search_pi_sample(game, oracle, states, rng, cfg,
+                                    self.mcts.temperature(turn))
 
         return think, True
 
@@ -111,9 +139,8 @@ class MctsRollouts(PlayerSpec):
         oracle = mcts.rollout_oracle(game, gamma=self.mcts.gamma)
 
         def think(net, states, turn, rng):
-            res = mcts.search(game, oracle, states, rng, cfg)
-            return envcore.apply_temperature(
-                res.policy, self.mcts.temperature(turn))
+            return search_pi_sample(game, oracle, states, rng, cfg,
+                                    self.mcts.temperature(turn))
 
         return think, False
 

@@ -39,6 +39,13 @@ class MctsParams:
     dirichlet_noise_eps: float = 0.0
     dirichlet_noise_alpha: float = 1.0
     prior_temperature: float = 1.0
+    # "puct" (reference semantics) or "gumbel" (sequential-halving root,
+    # Danihelka et al. 2022 — an extension beyond the reference; see
+    # search/gumbel.py).  Gumbel ignores temperature/Dirichlet knobs.
+    algorithm: str = "puct"
+    gumbel_max_considered: int = 16
+    gumbel_c_visit: float = 50.0
+    gumbel_c_scale: float = 0.1
 
     def replace(self, **kw) -> "MctsParams":
         return dataclasses.replace(self, **kw)

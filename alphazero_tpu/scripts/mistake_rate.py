@@ -65,12 +65,21 @@ def _winner(board):
 
 
 def generate_positions(n: int, seed: int = 0,
-                       min_ply: int = 4, max_ply: int = 36
+                       min_ply: int = 4, max_ply: int = 36,
+                       node_limit: int = 20_000_000
                        ) -> List[TestPosition]:
-    """Random reachable non-terminal positions with exact solver labels."""
+    """Random reachable non-terminal positions with exact solver labels.
+
+    Positions whose exact labeling exceeds ``node_limit`` solver nodes per
+    column are skipped (and counted): without an opening book, a balanced
+    sub-10-ply strong solve can take minutes — the same reason Pascal Pons
+    ships precomputed ``Test_L*_R*`` sets.  The skip count is reported so
+    the cap is never silent.
+    """
     rng = np.random.default_rng(seed)
     out: List[TestPosition] = []
     seen = set()
+    skipped = 0
     while len(out) < n:
         target = int(rng.integers(min_ply, max_ply + 1))
         board = np.zeros((6, 7), np.int8)
@@ -91,9 +100,16 @@ def generate_positions(n: int, seed: int = 0,
         if len(moves) < min_ply or moves in seen:
             continue
         seen.add(moves)
-        _, nodes = solver.solve_with_nodes(moves)
-        values = solver.move_values(moves)
+        try:
+            _, nodes = solver.solve_with_nodes(moves, node_limit=node_limit)
+            values = solver.move_values(moves, node_limit=node_limit)
+        except solver.BudgetExceeded:
+            skipped += 1
+            continue
         out.append(TestPosition(moves=moves, values=values, nodes=nodes))
+    if skipped:
+        print(f"# generate_positions: skipped {skipped} positions over the "
+              f"{node_limit}-node solver budget")
     return out
 
 

@@ -1,0 +1,53 @@
+"""Flagship connect-four training run on the TPU chip.
+
+Drives the reference's full recipe (``games/connect-four/params.jl``: ResNet
+5x128, 600-sim MCTS, 5000 games/iter, gating arena, 15 iterations) through
+the Session layer, with a benchmark cadence knob so evaluation duels don't
+dominate wall-clock on a single chip (the reference benchmarks every
+iteration on a 6-core desktop where one iteration takes ~1 h; here an
+iteration is ~10 min, so per-iteration 256-game duels would be ~half the
+budget).
+
+Usage:
+    python -m alphazero_tpu.scripts.train_flagship [--dir sessions/c4-flagship]
+        [--iters 15] [--benchmark-every 3] [--lanes 1024] [--games 5000]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="sessions/c4-flagship")
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--benchmark-every", type=int, default=3)
+    ap.add_argument("--lanes", type=int, default=1024)
+    ap.add_argument("--games", type=int, default=5000)
+    ap.add_argument("--sims", type=int, default=600)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    from ..experiments import connect_four
+    from ..session import Session
+
+    exp = connect_four.experiment(num_lanes=args.lanes)
+    p = exp.params
+    sp = p.self_play
+    sp = dataclasses.replace(
+        sp,
+        sim=sp.sim.replace(num_games=args.games, num_lanes=args.lanes),
+        mcts=sp.mcts.replace(num_iters_per_turn=args.sims))
+    p = dataclasses.replace(p, self_play=sp, num_iters=args.iters)
+    exp = dataclasses.replace(exp, params=p)
+
+    session = Session(exp, dir=args.dir, seed=args.seed,
+                      benchmark_every=args.benchmark_every)
+    session.resume()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Gumbel AlphaZero search (policy improvement by planning with Gumbel).
+
+An opt-in alternative to the reference's PUCT search (``src/mcts.jl``) after
+Danihelka et al. 2022, "Policy Improvement by Planning with Gumbel" (the
+algorithm of DeepMind's mctx ``gumbel_muzero_policy``).  It achieves the same
+playing strength with substantially fewer simulations per move — valuable on
+TPU where each simulation is one lock-step batched tree pass:
+
+* the root considers only the top-``max_considered`` actions by
+  ``gumbel + logits`` and distributes simulations over them with
+  **sequential halving** (a fixed, precomputed visit schedule — ideal for
+  jit: no data-dependent control flow);
+* interior nodes use the deterministic "completed Q-values" rule
+  ``argmax pi'(a) - N(a)/(1 + sum N)`` with
+  ``pi' = softmax(logits + sigma(completedQ))`` instead of PUCT;
+* the move played is ``argmax gumbel + logits + sigma(q)`` over the
+  candidates with the maximum visit count, which carries a policy-improvement
+  guarantee even at tiny simulation budgets;
+* the training target is the **completed policy**
+  ``softmax(logits + sigma(completedQ))`` rather than visit counts.
+
+No root Dirichlet noise / temperature: the per-move Gumbel sample is the
+exploration mechanism.
+
+Implementation note: this module reuses the whole batched tree machinery of
+``search.mcts`` (node slabs, staged growth, closed-form backprop) through the
+``root_action_fn`` / ``nonroot_scores`` selection hooks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..envs.core import Game
+from . import mcts
+from .mcts import NEG_INF, Oracle, Tree, _VALUE
+
+
+@dataclasses.dataclass(frozen=True)
+class GumbelConfig:
+    """Search knobs (defaults follow mctx's ``gumbel_muzero_policy``)."""
+
+    num_sims: int
+    max_considered: int = 16      # root candidates for sequential halving
+    c_visit: float = 50.0         # sigma(q) = (c_visit + max_N) * c_scale * q
+    c_scale: float = 0.1
+    rescale_q: bool = True        # min/max-rescale completed Q before sigma
+    gamma: float = 1.0
+    prior_temperature: float = 1.0
+    stages: int = 4               # staged tree growth (see MCTSConfig)
+    max_depth: Optional[int] = None
+
+    def mcts_config(self) -> mcts.MCTSConfig:
+        return mcts.MCTSConfig(
+            num_sims=self.num_sims, gamma=self.gamma, cpuct=1.0,
+            dirichlet_eps=0.0, prior_temperature=self.prior_temperature,
+            stages=self.stages, max_depth=self.max_depth)
+
+
+class GumbelResults(NamedTuple):
+    policy: jnp.ndarray       # f32 [B, A] completed policy (training target)
+    action: jnp.ndarray       # i32 [B] sequential-halving argmax (move to play)
+    root_visits: jnp.ndarray  # i32 [B, A]
+    root_q: jnp.ndarray       # f32 [B, A]
+    root_value: jnp.ndarray   # f32 [B]
+    nodes_traversed: jnp.ndarray
+    tree: Tree
+
+
+def considered_visit_schedule(max_considered: int, num_sims: int):
+    """Sequential-halving visit schedule: entry ``i`` is the visit count an
+    action must have to be eligible at simulation ``i`` (mctx's
+    ``get_sequence_of_considered_visits``)."""
+    if max_considered <= 1:
+        return tuple(range(num_sims))
+    log2max = int(math.ceil(math.log2(max_considered)))
+    sequence = []
+    visits = [0] * max_considered
+    num_considered = max_considered
+    while len(sequence) < num_sims:
+        num_extra = max(1, num_sims // (log2max * num_considered))
+        for _ in range(num_extra):
+            sequence.extend(visits[:num_considered])
+            for i in range(num_considered):
+                visits[i] += 1
+        num_considered = max(2, num_considered // 2)
+    return tuple(sequence[:num_sims])
+
+
+def _safe_logits(p, legal):
+    return jnp.where(legal, jnp.log(jnp.maximum(p, 1e-30)), NEG_INF)
+
+
+def _completed_q(q, nvis, p, legal, node_value):
+    """Q with unvisited actions completed by the mixed value estimate
+    (mctx ``qtransform_completed_by_mix_value``)."""
+    visited = nvis > 0
+    sum_n = jnp.sum(nvis, -1, keepdims=True)
+    p_masked = jnp.where(visited, p, 0.0)
+    w_q = (jnp.sum(p_masked * q, -1, keepdims=True)
+           / jnp.maximum(jnp.sum(p_masked, -1, keepdims=True), 1e-12))
+    v_mix = (node_value[:, None] + sum_n * w_q) / (1.0 + sum_n)
+    return jnp.where(visited, q, v_mix)
+
+
+def _sigma_q(q, nvis, p, legal, node_value, cfg: GumbelConfig):
+    """(c_visit + max_N) * c_scale * completedQ, optionally min/max-rescaled
+    over legal actions."""
+    completed = _completed_q(q, nvis, p, legal, node_value)
+    if cfg.rescale_q:
+        lo = jnp.min(jnp.where(legal, completed, jnp.inf), -1, keepdims=True)
+        hi = jnp.max(jnp.where(legal, completed, -jnp.inf), -1, keepdims=True)
+        completed = (completed - lo) / jnp.maximum(hi - lo, 1e-8)
+    max_n = jnp.max(nvis, -1, keepdims=True)
+    return (cfg.c_visit + max_n) * cfg.c_scale * completed
+
+
+def search(game: Game, oracle: Oracle, roots, rng, cfg: GumbelConfig
+           ) -> GumbelResults:
+    """Run Gumbel sequential-halving search over a batch of roots."""
+    A = game.num_actions
+    ap = mcts._pad_width(A)
+    B = jax.tree.leaves(roots)[0].shape[0]
+    gumbel_key, rng = jax.random.split(rng)
+
+    root_mask = jax.vmap(game.legal_mask)(roots)
+    g = jax.random.gumbel(gumbel_key, (B, A), jnp.float32)
+    g = jnp.where(root_mask, g, NEG_INF)
+
+    schedule = jnp.asarray(
+        considered_visit_schedule(cfg.max_considered, cfg.num_sims),
+        jnp.int32)
+
+    def root_stats(tree):
+        stats0 = tree.stats[0]
+        qsum = stats0[:, :A]
+        nvis = stats0[:, ap:ap + A]
+        q = qsum / jnp.maximum(nvis, 1.0)
+        p = tree.prior_legal[0, :, :A]
+        legal = tree.prior_legal[0, :, ap:ap + A] > 0.5
+        v = tree.meta[0, :, _VALUE]
+        return q, nvis, p, legal, v
+
+    def root_score(tree):
+        q, nvis, p, legal, v = root_stats(tree)
+        logits = _safe_logits(p, legal)
+        return g + logits + _sigma_q(q, nvis, p, legal, v, cfg), nvis, legal
+
+    def root_action_fn(tree, i):
+        score, nvis, legal = root_score(tree)
+        target_visit = schedule[i - 1]  # sims are 1-indexed in the driver
+        eligible = legal & (nvis.astype(jnp.int32) == target_visit)
+        picked = jnp.argmax(jnp.where(eligible, score, NEG_INF), -1)
+        # fallback (fewer legal actions than the schedule assumes):
+        # least-visited legal action
+        fallback = jnp.argmax(
+            jnp.where(legal, -nvis, NEG_INF), -1)
+        return jnp.where(jnp.any(eligible, -1), picked,
+                         fallback).astype(jnp.int32)
+
+    def nonroot_scores(p, legal, qsum, nvis, value):
+        """pi'(a) - N(a) / (1 + sum N) (deterministic interior rule)."""
+        q = qsum / jnp.maximum(nvis, 1.0)
+        logits = _safe_logits(p, legal)
+        pi_prime = jax.nn.softmax(
+            jnp.where(legal, logits + _sigma_q(q, nvis, p, legal, value, cfg),
+                      NEG_INF), -1)
+        sum_n = jnp.sum(nvis, -1, keepdims=True)
+        return pi_prime - nvis / (1.0 + sum_n)
+
+    res = mcts.search(game, oracle, roots, rng, cfg.mcts_config(),
+                      root_action_fn=root_action_fn,
+                      nonroot_scores=nonroot_scores)
+
+    q, nvis, p, legal, v = root_stats(res.tree)
+    logits = _safe_logits(p, legal)
+    sigma = _sigma_q(q, nvis, p, legal, v, cfg)
+    # training target: completed policy over ALL legal actions
+    policy = jax.nn.softmax(jnp.where(legal, logits + sigma, NEG_INF), -1)
+    # move to play: halving argmax among max-visit candidates
+    max_n = jnp.max(nvis, -1, keepdims=True)
+    at_max = legal & (nvis >= max_n)
+    action = jnp.argmax(
+        jnp.where(at_max, g + logits + sigma, NEG_INF), -1).astype(jnp.int32)
+    return GumbelResults(
+        policy=policy, action=action, root_visits=res.root_visits,
+        root_q=res.root_q, root_value=res.root_value,
+        nodes_traversed=res.nodes_traversed, tree=res.tree)

@@ -84,6 +84,22 @@ class MCTSConfig:
     # step and only break even with the tuned XLA path; it becomes the
     # default once the scalar-prefetch update kernel lands.
     fused: Optional[bool] = None
+    # Staged tree growth: after simulation i the tree holds at most i+1
+    # nodes, so the sim loop runs in `stages` chunks whose node slabs are
+    # sliced to a growing static capacity (evenly spaced, padded between
+    # stages).  Per-sim descent gathers and expansion writes scale with the
+    # slab capacity, so this cuts their average cost to ~(stages+1)/(2*
+    # stages) of the full-size loop at the price of `stages` compiled loop
+    # bodies.  1 disables staging; small searches stay single-stage.
+    stages: int = 4
+    # Optional descent-depth cap (mctx-style).  The per-sim update cost is
+    # proportional to the static path-buffer length, which defaults to the
+    # game-length bound (43 for connect-four) while real tree depths rarely
+    # exceed ~20; a cap cuts that cost.  A descent that hits the cap
+    # backpropagates the deepest node's stored oracle value instead of
+    # expanding (a semantics extension: the reference's depth is naturally
+    # bounded by game length, ``src/mcts.jl:199-226``, so it never caps).
+    max_depth: Optional[int] = None
 
 
 class Tree(NamedTuple):
@@ -166,10 +182,11 @@ def _pack_prior_legal(p, legal, ap: int):
     return out
 
 
-def init_tree(game: Game, cfg: MCTSConfig, roots, root_p, root_v) -> Tree:
+def init_tree(game: Game, cfg: MCTSConfig, roots, root_p, root_v,
+              capacity: Optional[int] = None) -> Tree:
     """Allocate the node slabs and install the evaluated roots."""
     B = root_p.shape[0]
-    N = cfg.num_sims + 1
+    N = capacity if capacity is not None else cfg.num_sims + 1
     ap = _pad_width(game.num_actions)
 
     root_legal = jax.vmap(game.legal_mask)(roots)
@@ -201,11 +218,16 @@ class _SelectState(NamedTuple):
     d: jnp.ndarray              # i32 [] loop counter
 
 
-def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int
-            ) -> _SelectState:
+def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
+            root_action=None, nonroot_scores=None) -> _SelectState:
     """Walk every lane down its tree until an unexpanded edge or a terminal
     node is hit (the in-tree phase of ``run_simulation!``,
-    ``src/mcts.jl:199-226``)."""
+    ``src/mcts.jl:199-226``).
+
+    Hooks for non-PUCT variants (search/gumbel.py): ``root_action [B]``
+    forces the action taken at the root; ``nonroot_scores(p, legal, qsum,
+    nvis, value) -> [B, A]`` replaces the PUCT score at interior nodes.
+    """
     N, B = tree.meta.shape[:2]
     A = num_actions
     ap = tree.prior_legal.shape[-1] // 2
@@ -237,12 +259,20 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int
             p = jnp.where(is_root,
                           (1.0 - cfg.dirichlet_eps) * p
                           + cfg.dirichlet_eps * eta, p)
-        q = qsum / jnp.maximum(nvis, 1.0)
-        sqrt_ntot = jnp.sqrt(jnp.sum(nvis, -1, keepdims=True))
-        scores = jnp.where(legal,
-                           q + cfg.cpuct * p * sqrt_ntot / (nvis + 1.0),
-                           NEG_INF)
+        if nonroot_scores is None:
+            q = qsum / jnp.maximum(nvis, 1.0)
+            sqrt_ntot = jnp.sqrt(jnp.sum(nvis, -1, keepdims=True))
+            scores = jnp.where(legal,
+                               q + cfg.cpuct * p * sqrt_ntot / (nvis + 1.0),
+                               NEG_INF)
+        else:
+            value = _slab_gather(tree.meta, s.cur)[:, _VALUE]
+            scores = jnp.where(legal,
+                               nonroot_scores(p, legal, qsum, nvis, value),
+                               NEG_INF)
         action = jnp.argmax(scores, -1).astype(jnp.int32)
+        if root_action is not None:
+            action = jnp.where(s.cur == 0, root_action, action)
         child = (jnp.take_along_axis(childp1, action[:, None], 1)[:, 0]
                  ).astype(jnp.int32) - 1
         active = ~s.done
@@ -322,16 +352,43 @@ def _edge_updates(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
     return q_edges, on_path, nodes, actions
 
 
+def _grow(tree: Tree, new_cap: int) -> Tree:
+    """Pad every node slab with dead slots up to ``new_cap`` (stage boundary)."""
+
+    def pad(x):
+        extra = jnp.zeros((new_cap - x.shape[0],) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x, extra], axis=0)
+
+    return Tree(states=jax.tree.map(pad, tree.states), meta=pad(tree.meta),
+                prior_legal=pad(tree.prior_legal), stats=pad(tree.stats))
+
+
+def _stage_caps(num_sims: int, stages: int):
+    """Evenly spaced node-slab capacities; stage k may run sims < caps[k]."""
+    N = num_sims + 1
+    if stages <= 1 or N <= 2 * stages or num_sims < 128:
+        return [N]
+    caps = sorted({round(N * (k + 1) / stages) for k in range(stages)})
+    caps[-1] = N
+    return caps
+
+
 def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
-           max_depth: Optional[int] = None) -> SearchResults:
+           max_depth: Optional[int] = None,
+           root_action_fn=None, nonroot_scores=None) -> SearchResults:
     """Run ``cfg.num_sims`` batched MCTS simulations from ``roots`` [B, ...].
+
+    ``root_action_fn(tree, i) -> [B]`` / ``nonroot_scores`` hook in non-PUCT
+    selection rules (used by the Gumbel variant, search/gumbel.py).
 
     The batched analogue of ``MCTS.explore!`` + ``MCTS.policy``
     (``src/mcts.jl:239-271``).  Jit-compatible; call under ``jax.jit`` (or
     inside a jitted self-play loop).
     """
     if max_depth is None:
-        max_depth = game.max_game_length + 1
+        max_depth = (cfg.max_depth if cfg.max_depth is not None
+                     else game.max_game_length + 1)
+    max_depth = min(max_depth, game.max_game_length + 1)
     A = game.num_actions
     ap = _pad_width(A)
     B = jax.tree.leaves(roots)[0].shape[0]
@@ -340,9 +397,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
     root_obs = jax.vmap(game.observe)(roots)
     root_mask = jax.vmap(game.legal_mask)(roots)
     root_p, root_v = oracle(roots, root_obs, root_mask)
-    tree = init_tree(game, cfg, roots, root_p, root_v)
     eta = dirichlet_noise(noise_key, root_mask, cfg.dirichlet_alpha)
-    N = cfg.num_sims + 1
     brange = jnp.arange(B)
 
     step_keys = jax.random.split(rng, cfg.num_sims)
@@ -390,11 +445,24 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         leaf_value = jnp.where(expanding & ~child_terminal, child_v, 0.0)
         return tree, child_states, leaf_value.astype(jnp.float32), parent_idx
 
+    depth_capped = max_depth < game.max_game_length + 1
+
+    def cap_leaf_value(tree, sel, leaf_value):
+        """Depth-capped descents (neither expanded nor terminal) backprop
+        the deepest node's stored oracle value (from that node's POV; the
+        q-chain sign factors handle the rest)."""
+        if not depth_capped:
+            return leaf_value
+        capped = ~sel.done
+        stored_v = _slab_gather(tree.meta, sel.cur)[:, _VALUE]
+        return jnp.where(capped, stored_v, leaf_value)
+
     S = 3 * ap
-    oob = N * B * S
 
     def apply_update_xla(stats, nodes, actions, on_path, q_edges,
                          expanding, parent_idx, expand_action, child_val):
+        cap = stats.shape[0]
+        oob = cap * B * S
         base = (nodes * B + brange[:, None]) * S + actions
         idx_q = jnp.where(on_path, base, oob)
         idx_v = jnp.where(on_path, base + ap, oob)
@@ -409,16 +477,37 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
              on_path.astype(jnp.float32).reshape(-1),
              child_val])
         return stats.reshape(-1).at[all_idx].add(
-            all_upd, mode="drop", unique_indices=True).reshape(N, B, S)
+            all_upd, mode="drop", unique_indices=True).reshape(cap, B, S)
+
+    def run_staged(body_fn):
+        """Drive ``body_fn`` over sims 1..num_sims in growing-capacity stages
+        (slab padded at each boundary; see ``MCTSConfig.stages``)."""
+        caps = _stage_caps(cfg.num_sims, cfg.stages)
+        t = init_tree(game, cfg, roots, root_p, root_v, capacity=caps[0])
+        trav = jnp.zeros((), jnp.int32)
+        lo = 1
+        for k, cap in enumerate(caps):
+            hi = cap - 1 if k < len(caps) - 1 else cfg.num_sims
+            t, trav = jax.lax.fori_loop(lo, hi + 1, body_fn, (t, trav))
+            if k < len(caps) - 1:
+                t = _grow(t, caps[k + 1])
+            lo = hi + 1
+        return t, trav
+
+    if use_fused and (root_action_fn is not None or nonroot_scores is not None):
+        raise NotImplementedError(
+            "selection hooks are not supported by the fused kernel path")
 
     if not use_fused:
         def sim_body(i, carry):
             tree, traversed = carry
-            sel = _select(tree, eta, cfg, max_depth, A)
+            ra = None if root_action_fn is None else root_action_fn(tree, i)
+            sel = _select(tree, eta, cfg, max_depth, A, ra, nonroot_scores)
             expanding = sel.expand_parent >= 0
             tree, child_states, leaf_value, parent_idx = expand(
                 tree, i, sel.expand_parent, sel.expand_action)
             leaf_node = jnp.where(expanding, i, sel.cur).astype(jnp.int32)
+            leaf_value = cap_leaf_value(tree, sel, leaf_value)
             q_edges, on_path, nodes, actions = _edge_updates(
                 tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
             stats = apply_update_xla(
@@ -428,8 +517,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             tree = tree._replace(stats=stats)
             return tree, traversed + jnp.sum(sel.depth)
 
-        tree, traversed = jax.lax.fori_loop(
-            1, cfg.num_sims + 1, sim_body, (tree, jnp.zeros((), jnp.int32)))
+        tree, traversed = run_staged(sim_body)
     else:
         from ..ops import pallas_update as PU
 
@@ -442,6 +530,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             tree, child_states, leaf_value, parent_idx = expand(
                 tree, i, sel.expand_parent, sel.expand_action)
             leaf_node = jnp.where(expanding, i, sel.cur).astype(jnp.int32)
+            leaf_value = cap_leaf_value(tree, sel, leaf_value)
             q_edges, on_path, nodes, actions = _edge_updates(
                 tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
             stats = PU.pallas_update(
@@ -453,9 +542,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             tree = tree._replace(stats=stats)
             return tree, traversed + jnp.sum(sel.depth)
 
-        tree, traversed = jax.lax.fori_loop(
-            1, cfg.num_sims + 1, sim_body_fused,
-            (tree, jnp.zeros((), jnp.int32)))
+        tree, traversed = run_staged(sim_body_fused)
 
     root_visits = tree.stats[0, :, ap:ap + A].astype(jnp.int32)
     ntot = jnp.sum(root_visits, -1, keepdims=True).astype(jnp.float32)

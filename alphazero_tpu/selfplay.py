@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .envs import core as envcore
 from .envs.core import Game
-from .search import mcts
+from .search import gumbel, mcts
 from .utils.schedules import Schedule
 
 
@@ -68,11 +68,17 @@ def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
                 lambda f, o: jnp.where(
                     do_flip.reshape((-1,) + (1,) * (f.ndim - 1)), f, o),
                 flipped, s)
-        res = mcts.search(game, oracle, s, k_search, cfg)
-        tau = temperature(turn)
-        pi_sample = envcore.apply_temperature(res.policy, tau)
-        a = jax.vmap(envcore.sample_from)(
-            pi_sample, jax.random.split(k_act, B))
+        if isinstance(cfg, gumbel.GumbelConfig):
+            # Gumbel self-play: play the halving argmax (per-move Gumbel
+            # noise is the exploration); train on the completed policy.
+            res = gumbel.search(game, oracle, s, k_search, cfg)
+            a = res.action
+        else:
+            res = mcts.search(game, oracle, s, k_search, cfg)
+            tau = temperature(turn)
+            pi_sample = envcore.apply_temperature(res.policy, tau)
+            a = jax.vmap(envcore.sample_from)(
+                pi_sample, jax.random.split(k_act, B))
         s2 = jax.vmap(game.step)(s, a, jax.random.split(k_step, B))
         s2 = jax.tree.map(
             lambda new, old: jnp.where(

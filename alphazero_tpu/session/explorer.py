@@ -48,7 +48,7 @@ class Explorer:
             def oracle(states, obs, mask):
                 p, _, v, _ = self.network.forward_normalized(net, obs, mask)
                 return p, v
-            return mcts.search(game, oracle, s1, key, cfg)
+            return arenamod.run_search(game, oracle, s1, key, cfg)
 
         self._search = jax.jit(_search)
         self._rng = jax.random.key(1234)

@@ -63,11 +63,16 @@ class Session(training.Handlers):
 
     def __init__(self, experiment: Experiment, dir: Optional[str] = None,
                  autosave: bool = True, save_intermediate: bool = False,
-                 seed: int = 0, quiet: bool = False):
+                 seed: int = 0, quiet: bool = False,
+                 benchmark_every: int = 1):
         self.experiment = experiment
         self.dir = dir or os.path.join("sessions", experiment.name)
         self.autosave = autosave
         self.save_intermediate = save_intermediate
+        # run the benchmark suite at iterations 0, k*benchmark_every, and the
+        # final iteration (the reference benchmarks every iteration,
+        # ``session.jl:529-533``; sparser cadences save evaluation compute)
+        self.benchmark_every = max(1, benchmark_every)
         os.makedirs(self.dir, exist_ok=True)
         os.makedirs(os.path.join(self.dir, "reports"), exist_ok=True)
         os.makedirs(os.path.join(self.dir, "benchmarks"), exist_ok=True)
@@ -306,7 +311,9 @@ class Session(training.Handlers):
                 ["self play", f"{rep.perfs_self_play.time:.1f}"],
                 ["memory analysis", f"{rep.perfs_memory_analysis.time:.1f}"],
                 ["learning", f"{rep.perfs_learning.time:.1f}"]])
-        self.run_benchmark()
+        if (env.itc % self.benchmark_every == 0
+                or env.itc >= env.params.num_iters):
+            self.run_benchmark()
         if self.autosave:
             self.save()
             if self.save_intermediate:

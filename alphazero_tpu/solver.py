@@ -18,6 +18,7 @@ _SRC = os.path.join(_REPO, "native", "c4solver", "solver.cpp")
 _LIB = os.path.join(_REPO, "native", "c4solver", "libc4solver.so")
 
 INVALID = -100
+ABORTED = -101   # node budget exhausted
 IMMEDIATE_WIN = 100
 
 _lock = threading.Lock()
@@ -42,46 +43,68 @@ def _load():
         lib.c4_solve.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                  ctypes.POINTER(ctypes.c_longlong)]
         lib.c4_solve.restype = ctypes.c_int
+        lib.c4_solve_limited.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.c4_solve_limited.restype = ctypes.c_int
         lib.c4_solve_moves.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                        ctypes.POINTER(ctypes.c_int)]
         lib.c4_solve_moves.restype = None
+        lib.c4_solve_moves_limited.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.c4_solve_moves_limited.restype = None
         _lib = lib
         return lib
 
 
-def solve(moves: str, weak: bool = False) -> Optional[int]:
+class BudgetExceeded(Exception):
+    """A solve hit its node budget before resolving the position."""
+
+
+def solve(moves: str, weak: bool = False,
+          node_limit: int = 0) -> Optional[int]:
     """Exact score of the position reached by ``moves`` (1-based column
     string, e.g. "44451"), for the player to move.  None on invalid input.
 
     Score convention: 0 draw; +s forced win (faster wins score higher);
     -s forced loss.  ``weak=True`` only resolves the win/draw/loss class.
+    ``node_limit > 0`` raises :class:`BudgetExceeded` past that many nodes
+    (near-root strong solves of balanced positions are expensive without an
+    opening book).
     """
-    lib = _load()
-    nodes = ctypes.c_longlong(0)
-    score = lib.c4_solve(moves.encode(), int(weak), ctypes.byref(nodes))
-    return None if score == INVALID else score
+    score, _ = solve_with_nodes(moves, weak, node_limit)
+    return score
 
 
-def solve_with_nodes(moves: str, weak: bool = False):
+def solve_with_nodes(moves: str, weak: bool = False, node_limit: int = 0):
     lib = _load()
     nodes = ctypes.c_longlong(0)
-    score = lib.c4_solve(moves.encode(), int(weak), ctypes.byref(nodes))
+    score = lib.c4_solve_limited(moves.encode(), int(weak),
+                                 int(node_limit), ctypes.byref(nodes))
+    if score == ABORTED:
+        raise BudgetExceeded(moves)
     return (None if score == INVALID else score), int(nodes.value)
 
 
-def move_values(moves: str, weak: bool = False) -> List[Optional[int]]:
+def move_values(moves: str, weak: bool = False,
+                node_limit: int = 0) -> List[Optional[int]]:
     """Value of each column for the player to move (None = illegal).
 
     ``v[c]`` uses the same score convention as :func:`solve`; an immediately
-    winning move gets the exact fastest-win score.
+    winning move gets the exact fastest-win score.  ``node_limit`` is a
+    per-column budget; exceeding it raises :class:`BudgetExceeded`.
     """
     lib = _load()
     out = (ctypes.c_int * 7)()
-    lib.c4_solve_moves(moves.encode(), int(weak), out)
+    lib.c4_solve_moves_limited(moves.encode(), int(weak), int(node_limit),
+                               out)
     vals: List[Optional[int]] = []
     nmoves = len(moves)
     for c in range(7):
         v = out[c]
+        if v == ABORTED:
+            raise BudgetExceeded(f"{moves} column {c}")
         if v == INVALID:
             vals.append(None)
         elif v == IMMEDIATE_WIN:

@@ -104,6 +104,21 @@ struct Position {
 
   u64 key() const { return current + mask; }
 
+  // Canonical key under the left-right board symmetry: mirrored positions
+  // have identical values, so hashing min(key, mirror_key) doubles the
+  // effective transposition-table reach.
+  u64 sym_key() const {
+    u64 k = current + mask;
+    u64 mc = 0, mm = 0;
+    for (int c = 0; c < W; ++c) {
+      u64 colsel = (u64(1) << HP) - 1;
+      mc |= ((current >> (c * HP)) & colsel) << ((W - 1 - c) * HP);
+      mm |= ((mask >> (c * HP)) & colsel) << ((W - 1 - c) * HP);
+    }
+    u64 m = mc + mm;
+    return k < m ? k : m;
+  }
+
   // Heuristic move score for ordering: number of own winning spots created.
   int move_score(u64 move) const {
     u64 p = current | move;
@@ -128,12 +143,26 @@ struct TT {
   }
 };
 
+// Global tables shared across calls: entries are keyed by exact position,
+// and alpha-beta fail bounds are sound independently of the search window
+// that produced them, so reuse across calls/narrowing passes is safe and
+// makes e.g. `c4_solve_moves` (7 sibling solves) share most of its work.
+TT g_upper{23};  // fail-low results: true score <= stored
+TT g_lower{23};  // fail-high results: true score >= stored
+
 struct Solver {
-  TT tt{23};
+  TT& tt = g_upper;
+  TT& ttlo = g_lower;
   u64 nodes = 0;
+  u64 limit = 0;      // 0 = unlimited; else abort once nodes >= limit
+  bool aborted = false;
   static constexpr int ORDER[W] = {3, 2, 4, 1, 5, 0, 6};  // center first
 
   int negamax(Position& p, int alpha, int beta) {
+    if (limit && nodes >= limit) {  // budget exhausted: unwind without
+      aborted = true;               // storing any (now unsound) TT bounds
+      return alpha;
+    }
     ++nodes;
     u64 nl = p.non_losing_moves();
     if (nl == 0)  // every move loses immediately
@@ -141,12 +170,17 @@ struct Solver {
     if (p.moves >= W * H - 2) return 0;  // draw
 
     int minv = -(W * H - 2 - p.moves) / 2;  // lower bound: we can't win
+    u64 key = p.sym_key();
+    if (int v = ttlo.get(key)) {
+      int lb = v + MIN_SCORE - 1;
+      if (lb > minv) minv = lb;
+    }
     if (alpha < minv) {
       alpha = minv;
       if (alpha >= beta) return alpha;
     }
     int maxv = (W * H - 1 - p.moves) / 2;  // upper bound
-    if (int v = tt.get(p.key())) maxv = v + MIN_SCORE - 1;
+    if (int v = tt.get(key)) maxv = v + MIN_SCORE - 1;
     if (beta > maxv) {
       beta = maxv;
       if (alpha >= beta) return beta;
@@ -176,12 +210,18 @@ struct Solver {
       q.mask |= moves[i].bit;
       ++q.moves;
       int s = -negamax(q, -beta, -alpha);
-      if (s >= beta) return s;
+      if (aborted) return alpha;  // partial result: do not store bounds
+      if (s >= beta) {
+        ttlo.put(key, int8_t(s - MIN_SCORE + 1));
+        return s;
+      }
       if (s > alpha) alpha = s;
     }
-    tt.put(p.key(), int8_t(alpha - MIN_SCORE + 1));
+    tt.put(key, int8_t(alpha - MIN_SCORE + 1));
     return alpha;
   }
+
+  static constexpr int ABORTED = -101;
 
   int solve(Position p, bool weak) {
     if (p.can_win_next())  // negamax assumes no immediate win available
@@ -193,6 +233,7 @@ struct Solver {
       if (med <= 0 && lo / 2 < med) med = lo / 2;
       else if (med >= 0 && hi / 2 > med) med = hi / 2;
       int r = negamax(p, med, med + 1);
+      if (aborted) return ABORTED;
       if (r <= med) hi = r; else lo = r;
     }
     return lo;
@@ -215,22 +256,31 @@ bool position_from_moves(const char* moves, Position& p) {
 
 extern "C" {
 
-// Solve the position reached by `moves` ("4453", 1-based columns).
-// Returns the score for the player to move; INVALID (-100) on bad input.
-// `nodes_out` (optional) receives the explored node count.
-int c4_solve(const char* moves, int weak, long long* nodes_out) {
+// Solve the position reached by `moves` ("4453", 1-based columns), aborting
+// once `node_limit` nodes were explored (0 = unlimited).  Returns the score
+// for the player to move; INVALID (-100) on bad input; ABORTED (-101) on
+// budget exhaustion.  `nodes_out` (optional) receives the node count.
+int c4_solve_limited(const char* moves, int weak, long long node_limit,
+                     long long* nodes_out) {
   Position p;
   if (!position_from_moves(moves, p)) return -100;
   Solver s;
+  s.limit = node_limit > 0 ? (u64)node_limit : 0;
   int score = s.solve(p, weak != 0);
   if (nodes_out) *nodes_out = (long long)s.nodes;
   return score;
 }
 
+int c4_solve(const char* moves, int weak, long long* nodes_out) {
+  return c4_solve_limited(moves, weak, 0, nodes_out);
+}
+
 // Scores after each legal reply: out[c] = score for the OPPONENT after the
 // current player plays column c+1 (so the current player's value of move c
-// is -out[c]); -100 marks illegal columns, +100 an immediate win.
-void c4_solve_moves(const char* moves, int weak, int* out) {
+// is -out[c]); -100 marks illegal columns, +100 an immediate win, -101 a
+// column whose solve exceeded the (per-column) node budget.
+void c4_solve_moves_limited(const char* moves, int weak,
+                            long long node_limit, int* out) {
   Position p;
   bool ok = position_from_moves(moves, p);
   for (int c = 0; c < W; ++c) {
@@ -240,8 +290,13 @@ void c4_solve_moves(const char* moves, int weak, int* out) {
     Position q = p;
     q.play(c);
     Solver s;
+    s.limit = node_limit > 0 ? (u64)node_limit : 0;
     out[c] = s.solve(q, weak != 0);
   }
+}
+
+void c4_solve_moves(const char* moves, int weak, int* out) {
+  c4_solve_moves_limited(moves, weak, 0, out);
 }
 
 }  // extern "C"

@@ -189,3 +189,53 @@ def test_vanilla_mcts_beats_random():
     r_as_black = np.asarray(play_match(jax.random.key(1), False))
     avg = np.concatenate([r_as_white, r_as_black]).mean()
     assert avg > 0.5, f"vanilla MCTS too weak vs random: avg reward {avg}"
+
+
+def test_staged_search_is_bit_identical():
+    """Staged tree growth (MCTSConfig.stages) is a pure layout optimization:
+    results must match the single-stage loop bit for bit."""
+    C4 = envs.registry()["connect-four"]
+    B = 8
+    key = jax.random.key(7)
+    roots = C4.init_batch(B)
+    for _ in range(3):
+        key, k2, k3 = jax.random.split(key, 3)
+        legal = jax.vmap(C4.legal_mask)(roots).astype(jnp.float32)
+        a = jax.vmap(core.sample_from)(legal, jax.random.split(k2, B))
+        roots = jax.vmap(C4.step)(roots, a, jax.random.split(k3, B))
+    oracle = mcts.random_oracle(C4)
+    outs = []
+    for stages in (1, 4):
+        cfg = mcts.MCTSConfig(num_sims=160, cpuct=2.0, dirichlet_eps=0.25,
+                              dirichlet_alpha=1.0, stages=stages)
+        res = jax.jit(functools.partial(mcts.search, C4, oracle, cfg=cfg))(
+            roots, jax.random.key(3))
+        outs.append(res)
+    assert np.array_equal(np.asarray(outs[0].policy),
+                          np.asarray(outs[1].policy))
+    assert np.array_equal(np.asarray(outs[0].root_visits),
+                          np.asarray(outs[1].root_visits))
+    assert np.array_equal(np.asarray(outs[0].root_q),
+                          np.asarray(outs[1].root_q))
+
+
+def test_depth_cap():
+    """A cap >= the game-length bound is a no-op; a tight cap still returns
+    a full visit budget (capped descents backprop stored values)."""
+    C4 = envs.registry()["connect-four"]
+    B = 4
+    roots = C4.init_batch(B)
+    oracle = mcts.random_oracle(C4)
+
+    def run(md):
+        cfg = mcts.MCTSConfig(num_sims=150, cpuct=2.0, max_depth=md)
+        return jax.jit(functools.partial(mcts.search, C4, oracle, cfg=cfg))(
+            roots, jax.random.key(5))
+
+    res_none, res_large, res_tight = run(None), run(99), run(6)
+    assert np.array_equal(np.asarray(res_none.policy),
+                          np.asarray(res_large.policy))
+    # every simulation adds exactly one root visit regardless of the cap
+    assert np.asarray(res_tight.root_visits).sum(-1).tolist() == [150] * B
+    # the capped search must stay tactically sound
+    assert np.all(np.asarray(res_tight.policy).sum(-1) > 0.99)

@@ -106,10 +106,19 @@ def test_tactics():
     # column 7 (idx 6) or column 3 (idx 2) wins immediately for white
     assert v[6] == (43 - 6) // 2
     assert max(x for x in v if x is not None) == v[6]
-    # a full column is illegal
-    vals = solver.move_values("411111")
-    # column 1 has 5... actually 1 appears 5 times: still legal once more
-    assert vals.count(None) in (0, 1)
+    # full columns are marked illegal (None); use a deep position so the
+    # remaining columns solve instantly (a near-root strong solve of a
+    # balanced position costs minutes without an opening book)
+    rng = np.random.default_rng(3)
+    while True:
+        moves = _random_deep_position(rng, min_moves=38)
+        board, _ = _apply(moves)
+        full = [c for c in range(7) if board[5, c] != 0]
+        if full:
+            break
+    vals = solver.move_values(moves)
+    assert all(vals[c] is None for c in full)
+    assert all(vals[c] is not None for c in range(7) if c not in full)
     # invalid input
     assert solver.solve("8") is None
 
