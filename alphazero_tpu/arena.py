@@ -54,6 +54,8 @@ def mcts_config(p: cfgmod.MctsParams):
         dirichlet_eps=p.dirichlet_noise_eps,
         dirichlet_alpha=p.dirichlet_noise_alpha,
         prior_temperature=p.prior_temperature,
+        reuse_tree=p.reuse_tree,
+        reuse_cap=p.reuse_cap,
     )
 
 

@@ -46,6 +46,10 @@ class MctsParams:
     gumbel_max_considered: int = 16
     gumbel_c_visit: float = 50.0
     gumbel_c_scale: float = 0.1
+    # cross-move subtree reuse during self-play (the array analogue of the
+    # reference's per-game transposition-table persistence)
+    reuse_tree: bool = False
+    reuse_cap: int = 256
 
     def replace(self, **kw) -> "MctsParams":
         return dataclasses.replace(self, **kw)

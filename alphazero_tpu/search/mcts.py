@@ -63,8 +63,8 @@ NEG_INF = jnp.float32(-1e30)
 # (``src/mcts.jl:6-17``).
 Oracle = Callable[[Any, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
 
-# meta slab slots
-_PLAYER, _TERMINAL, _REWARD, _VALUE = 0, 1, 2, 3
+# meta slab slots (parent/action power the cross-move subtree reuse)
+_PLAYER, _TERMINAL, _REWARD, _VALUE, _PARENT, _ACTION = 0, 1, 2, 3, 4, 5
 _META_W = 8
 
 
@@ -100,6 +100,13 @@ class MCTSConfig:
     # expanding (a semantics extension: the reference's depth is naturally
     # bounded by game length, ``src/mcts.jl:199-226``, so it never caps).
     max_depth: Optional[int] = None
+    # Cross-move subtree reuse (self-play): carry the played action's child
+    # subtree (up to reuse_cap nodes) into the next move's search as its
+    # warm root.  This mirrors the reference's per-game transposition table,
+    # which persists across moves (``src/mcts.jl:124-151``); visits carried
+    # over deepen the effective search at the same per-move budget.
+    reuse_tree: bool = False
+    reuse_cap: int = 256
 
 
 class Tree(NamedTuple):
@@ -161,7 +168,7 @@ def dirichlet_noise(key, legal, alpha):
     return g / jnp.maximum(jnp.sum(g, -1, keepdims=True), 1e-30)
 
 
-def _pack_meta(game: Game, states, value):
+def _pack_meta(game: Game, states, value, parent=None, action=None):
     """[B, 8] meta rows for a batch of states."""
     B = value.shape[0]
     meta = jnp.zeros((B, _META_W), jnp.float32)
@@ -171,6 +178,10 @@ def _pack_meta(game: Game, states, value):
         jax.vmap(game.terminated)(states).astype(jnp.float32))
     meta = meta.at[:, _REWARD].set(jax.vmap(game.reward)(states))
     meta = meta.at[:, _VALUE].set(value.astype(jnp.float32))
+    meta = meta.at[:, _PARENT].set(
+        -1.0 if parent is None else parent.astype(jnp.float32))
+    if action is not None:
+        meta = meta.at[:, _ACTION].set(action.astype(jnp.float32))
     return meta
 
 
@@ -373,13 +384,130 @@ def _stage_caps(num_sims: int, stages: int):
     return caps
 
 
+def _install_carried(fresh: Tree, car: Tree, valid) -> Tree:
+    """Overwrite slots [0, K) of a freshly initialized tree with the carried
+    slabs on lanes where ``valid`` (other lanes keep the fresh root)."""
+    K = car.meta.shape[0]
+    B = car.meta.shape[1]
+
+    def put(f, c):
+        v = valid.reshape((1, B) + (1,) * (c.ndim - 2))
+        return f.at[:K].set(jnp.where(v, c, f[:K]))
+
+    return Tree(states=jax.tree.map(put, fresh.states, car.states),
+                meta=put(fresh.meta, car.meta),
+                prior_legal=put(fresh.prior_legal, car.prior_legal),
+                stats=put(fresh.stats, car.stats))
+
+
+def empty_carry(game: Game, carry_cap: int, num_lanes: int) -> Tuple[Tree, jnp.ndarray]:
+    """All-invalid carry state (the scan-carry init for reusing self-play)."""
+    ap = _pad_width(game.num_actions)
+    B = num_lanes
+    template = game.init_batch(B)
+    tree = Tree(
+        states=jax.tree.map(
+            lambda x: jnp.zeros((carry_cap,) + x.shape, x.dtype), template),
+        meta=jnp.zeros((carry_cap, B, _META_W), jnp.float32),
+        prior_legal=jnp.zeros((carry_cap, B, 2 * ap), jnp.float32),
+        stats=jnp.zeros((carry_cap, B, 3 * ap), jnp.float32),
+    )
+    return tree, jnp.zeros((B,), bool)
+
+
+def advance_root(game: Game, tree: Tree, actions, carry_cap: int
+                 ) -> Tuple[Tree, jnp.ndarray]:
+    """Compact the subtree under each lane's played action into fresh slabs
+    of capacity ``carry_cap`` (the root of the new slab = that child).
+
+    This realizes the reference's cross-move tree persistence (its
+    state-keyed table survives between moves, ``src/mcts.jl:124-151``) in
+    array form: an ancestor-chain membership scan (parents always precede
+    children in slot order), an exclusive-cumsum relabeling, one row-gather
+    per slab, and a pointer remap.  Nodes beyond ``carry_cap`` are dropped;
+    their ancestors keep the (still valid) aggregated visit statistics and
+    the dangling child pointers are reset to "unexpanded".
+
+    Returns ``(carried_tree, valid [B])``; lanes whose played child was
+    never expanded come back invalid (nothing to carry).
+    """
+    C, B = tree.meta.shape[:2]
+    ap = tree.prior_legal.shape[-1] // 2
+    brange = jnp.arange(B)
+    K = carry_cap
+
+    childp1 = _slab_gather(tree.stats, jnp.zeros((B,), jnp.int32))
+    childp1 = jax.vmap(lambda row, a: row[2 * ap + a])(
+        childp1, actions.astype(jnp.int32))
+    r = childp1.astype(jnp.int32) - 1                       # [B]; -1: none
+    valid = r >= 0
+
+    parent = tree.meta[:, :, _PARENT].astype(jnp.int32)    # [C, B]
+
+    def member_body(i, member):
+        par = parent[i]
+        pm = jax.vmap(lambda p, b: member[p, b])(jnp.maximum(par, 0), brange)
+        m = (i == r) | ((par >= 0) & pm)
+        return member.at[i].set(m)
+
+    member = jax.lax.fori_loop(
+        1, C, member_body, jnp.zeros((C, B), bool))
+    newidx = jnp.cumsum(member.astype(jnp.int32), axis=0) - member
+    keep = member & (newidx < K)
+    n_kept = jnp.sum(keep.astype(jnp.int32), axis=0)        # [B]
+
+    # scatter old slot index i into its destination row
+    dest = jnp.where(keep, newidx, K)
+    src = jnp.zeros((K + 1, B), jnp.int32)
+    src = src.at[dest, jnp.broadcast_to(brange, (C, B))].set(
+        jnp.broadcast_to(jnp.arange(C)[:, None], (C, B)), mode="drop")
+    src = src[:K]
+
+    live = jnp.arange(K)[:, None] < n_kept[None, :]          # [K, B]
+
+    def take(slab):
+        rows = jax.vmap(lambda idx: _row_gather(
+            slab.reshape(slab.shape[:2] + (-1,)), idx))(src)
+        rows = rows.reshape((K,) + slab.shape[1:2] + slab.shape[2:])
+        mask = live.reshape((K, B) + (1,) * (slab.ndim - 2))
+        return jnp.where(mask, rows, jnp.zeros((), slab.dtype))
+
+    new_states = jax.tree.map(take, tree.states)
+    new_meta = take(tree.meta)
+    new_prior = take(tree.prior_legal)
+    new_stats = take(tree.stats)
+
+    # old-index -> new-index+1 (0 = dropped/unexpanded), for pointer remaps
+    map01 = jnp.where(keep, newidx + 1, 0).astype(jnp.float32)  # [C, B]
+    oldc = new_stats[:, :, 2 * ap:].astype(jnp.int32) - 1       # [K, B, ap]
+    bidx = jnp.broadcast_to(brange[None, :, None], oldc.shape)
+    newc = jnp.where(oldc >= 0,
+                     map01[jnp.clip(oldc, 0, C - 1), bidx], 0.0)
+    new_stats = new_stats.at[:, :, 2 * ap:].set(newc)
+    oldp = new_meta[:, :, _PARENT].astype(jnp.int32)            # [K, B]
+    bidx2 = jnp.broadcast_to(brange[None, :], oldp.shape)
+    newp = jnp.where(oldp >= 0,
+                     map01[jnp.clip(oldp, 0, C - 1), bidx2] - 1.0, -1.0)
+    new_meta = new_meta.at[:, :, _PARENT].set(newp)
+
+    carried = Tree(states=new_states, meta=new_meta,
+                   prior_legal=new_prior, stats=new_stats)
+    return carried, valid
+
+
 def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
            max_depth: Optional[int] = None,
-           root_action_fn=None, nonroot_scores=None) -> SearchResults:
+           root_action_fn=None, nonroot_scores=None,
+           carried=None) -> SearchResults:
     """Run ``cfg.num_sims`` batched MCTS simulations from ``roots`` [B, ...].
 
     ``root_action_fn(tree, i) -> [B]`` / ``nonroot_scores`` hook in non-PUCT
     selection rules (used by the Gumbel variant, search/gumbel.py).
+
+    ``carried = (tree, valid)`` warm-starts lanes where ``valid`` with a
+    compacted subtree from the previous move (see :func:`advance_root`);
+    its slabs occupy slots ``[0, reuse_cap)`` and new expansions write at
+    ``reuse_cap + i - 1``, preserving the same-slot contiguous-DUS layout.
 
     The batched analogue of ``MCTS.explore!`` + ``MCTS.policy``
     (``src/mcts.jl:239-271``).  Jit-compatible; call under ``jax.jit`` (or
@@ -403,9 +531,14 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
     step_keys = jax.random.split(rng, cfg.num_sims)
     use_fused = bool(cfg.fused)
 
+    # slots [0, K_base) hold the root (fresh: K_base=1) or the carried
+    # subtree; simulation i expands into slot K_base + i - 1
+    K_base = 1 if carried is None else carried[0].meta.shape[0]
+
     def expand(tree, i, expand_parent, expand_action):
         """Step the env over the expansion edge and write the new node's
         slot (same index for every lane -> in-place contiguous DUS)."""
+        slot = K_base + i - 1
         expanding = expand_parent >= 0
         parent_idx = jnp.maximum(expand_parent, 0)
         parent_states = jax.tree.map(
@@ -424,18 +557,20 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             child_p, child_mask, cfg.prior_temperature)
 
         def put(arr, val):
-            """DUS the [1, B, ...] slice ``val`` at node slot i; lanes where
-            nothing expands keep their old row."""
-            old = jax.lax.dynamic_slice_in_dim(arr, i, 1, axis=0)
+            """DUS the [1, B, ...] slice ``val`` at the expansion slot;
+            lanes where nothing expands keep their old row."""
+            old = jax.lax.dynamic_slice_in_dim(arr, slot, 1, axis=0)
             sel_mask = expanding.reshape((1, B) + (1,) * (val.ndim - 2))
             new = jnp.where(sel_mask, val, old)
-            return jax.lax.dynamic_update_slice_in_dim(arr, new, i, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(arr, new, slot, axis=0)
 
         tree = tree._replace(
             states=jax.tree.map(
                 lambda a, v: put(a, v[None]), tree.states, child_states),
             meta=put(tree.meta,
-                     _pack_meta(game, child_states, child_v)[None]),
+                     _pack_meta(game, child_states, child_v,
+                                parent=jnp.where(expanding, parent_idx, -1),
+                                action=expand_action)[None]),
             prior_legal=put(tree.prior_legal,
                             _pack_prior_legal(child_prior, child_mask,
                                               ap)[None]),
@@ -483,14 +618,17 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         """Drive ``body_fn`` over sims 1..num_sims in growing-capacity stages
         (slab padded at each boundary; see ``MCTSConfig.stages``)."""
         caps = _stage_caps(cfg.num_sims, cfg.stages)
-        t = init_tree(game, cfg, roots, root_p, root_v, capacity=caps[0])
+        t = init_tree(game, cfg, roots, root_p, root_v,
+                      capacity=K_base - 1 + caps[0])
+        if carried is not None:
+            t = _install_carried(t, carried[0], carried[1])
         trav = jnp.zeros((), jnp.int32)
         lo = 1
         for k, cap in enumerate(caps):
             hi = cap - 1 if k < len(caps) - 1 else cfg.num_sims
             t, trav = jax.lax.fori_loop(lo, hi + 1, body_fn, (t, trav))
             if k < len(caps) - 1:
-                t = _grow(t, caps[k + 1])
+                t = _grow(t, K_base - 1 + caps[k + 1])
             lo = hi + 1
         return t, trav
 
@@ -506,14 +644,15 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             expanding = sel.expand_parent >= 0
             tree, child_states, leaf_value, parent_idx = expand(
                 tree, i, sel.expand_parent, sel.expand_action)
-            leaf_node = jnp.where(expanding, i, sel.cur).astype(jnp.int32)
+            slot = K_base + i - 1
+            leaf_node = jnp.where(expanding, slot, sel.cur).astype(jnp.int32)
             leaf_value = cap_leaf_value(tree, sel, leaf_value)
             q_edges, on_path, nodes, actions = _edge_updates(
                 tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
             stats = apply_update_xla(
                 tree.stats, nodes, actions, on_path, q_edges, expanding,
                 parent_idx, sel.expand_action,
-                jnp.full((B,), 0.0, jnp.float32) + (i + 1.0))
+                jnp.full((B,), 0.0, jnp.float32) + (slot + 1.0))
             tree = tree._replace(stats=stats)
             return tree, traversed + jnp.sum(sel.depth)
 
@@ -529,7 +668,8 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             expanding = sel.expand_parent >= 0
             tree, child_states, leaf_value, parent_idx = expand(
                 tree, i, sel.expand_parent, sel.expand_action)
-            leaf_node = jnp.where(expanding, i, sel.cur).astype(jnp.int32)
+            slot = K_base + i - 1
+            leaf_node = jnp.where(expanding, slot, sel.cur).astype(jnp.int32)
             leaf_value = cap_leaf_value(tree, sel, leaf_value)
             q_edges, on_path, nodes, actions = _edge_updates(
                 tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
@@ -537,7 +677,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
                 tree.stats, nodes, actions, sel.depth,
                 jnp.where(on_path, q_edges, 0.0),
                 jnp.where(expanding, parent_idx, -1), sel.expand_action,
-                jnp.full((B,), 0.0, jnp.float32) + (i + 1.0),
+                jnp.full((B,), 0.0, jnp.float32) + (slot + 1.0),
                 interpret=interpret)
             tree = tree._replace(stats=stats)
             return tree, traversed + jnp.sum(sel.depth)

@@ -53,9 +53,11 @@ def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
     """
     L = num_moves_cap or game.max_game_length
     B = num_lanes
+    use_gumbel = isinstance(cfg, gumbel.GumbelConfig)
+    reuse = (not use_gumbel) and getattr(cfg, "reuse_tree", False)
 
     def move(carry, inp):
-        s, traversed, sims = carry
+        s, ctree, cvalid, traversed, sims = carry
         turn, key = inp
         k_flip, k_search, k_act, k_step = jax.random.split(key, 4)
         done = jax.vmap(game.terminated)(s)
@@ -68,17 +70,33 @@ def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
                 lambda f, o: jnp.where(
                     do_flip.reshape((-1,) + (1,) * (f.ndim - 1)), f, o),
                 flipped, s)
-        if isinstance(cfg, gumbel.GumbelConfig):
+        if use_gumbel:
             # Gumbel self-play: play the halving argmax (per-move Gumbel
             # noise is the exploration); train on the completed policy.
             res = gumbel.search(game, oracle, s, k_search, cfg)
             a = res.action
         else:
-            res = mcts.search(game, oracle, s, k_search, cfg)
+            carried = None
+            if reuse:
+                # a carried subtree is only usable when its stored root
+                # state matches the actual search root (this invalidates
+                # flipped lanes and stochastic-transition mismatches in
+                # one stroke)
+                stored_key = jax.vmap(game.canonical_key)(
+                    jax.tree.map(lambda x: x[0], ctree.states))
+                cur_key = jax.vmap(game.canonical_key)(s)
+                cvalid = cvalid & jnp.all(stored_key == cur_key, axis=-1)
+                carried = (ctree, cvalid)
+            res = mcts.search(game, oracle, s, k_search, cfg,
+                              carried=carried)
             tau = temperature(turn)
             pi_sample = envcore.apply_temperature(res.policy, tau)
             a = jax.vmap(envcore.sample_from)(
                 pi_sample, jax.random.split(k_act, B))
+        if reuse:
+            ctree, cvalid = mcts.advance_root(game, res.tree, a,
+                                              cfg.reuse_cap)
+            cvalid = cvalid & ~done
         s2 = jax.vmap(game.step)(s, a, jax.random.split(k_step, B))
         s2 = jax.tree.map(
             lambda new, old: jnp.where(
@@ -94,13 +112,16 @@ def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
         )
         traversed = traversed + res.nodes_traversed
         sims = sims + jnp.sum((~done).astype(jnp.int32)) * cfg.num_sims
-        return (s2, traversed, sims), out
+        return (s2, ctree, cvalid, traversed, sims), out
 
     rng, init_key = jax.random.split(rng)
     s0 = game.init_batch(B, init_key)
+    ctree0, cvalid0 = mcts.empty_carry(
+        game, cfg.reuse_cap if reuse else 1, B)
     keys = jax.random.split(rng, L)
-    (sf, traversed, sims), tr = jax.lax.scan(
-        move, (s0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+    (sf, _, _, traversed, sims), tr = jax.lax.scan(
+        move, (s0, ctree0, cvalid0,
+               jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
         (jnp.arange(L), keys))
 
     # discounted returns, walked backwards (``src/memory.jl:74-87``)
