@@ -50,7 +50,10 @@ def experiment(num_lanes: int = 1024) -> Experiment:
         num_iters=15, ternary_outcome=True, use_symmetries=True,
         mem_buffer_size=PLSchedule([0, 15], [400_000, 1_000_000]),
         mem_buffer_granularity=50_000)
-    benchmark_sim = SimParams(num_games=256, num_lanes=256,
+    # 128 lanes x 2 rounds: the 256-lane duel program reproducibly kills the
+    # TPU worker with a kernel fault (axon tunnel, jax 0.8.x) while 128
+    # lanes are stable; see NOTES.md
+    benchmark_sim = SimParams(num_games=256, num_lanes=128,
                               flip_probability=0.5, alternate_colors=True)
     mcts_baseline = A.MctsRollouts(
         arena.mcts.replace(num_iters_per_turn=1000, cpuct=1.0))

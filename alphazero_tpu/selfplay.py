@@ -41,17 +41,9 @@ class TraceBatch(NamedTuple):
     num_sims: jnp.ndarray         # i32 [] total simulations run
 
 
-def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
-                    temperature: Schedule, num_lanes: int, rng,
-                    flip_probability: float = 0.0,
-                    num_moves_cap: int = 0) -> TraceBatch:
-    """Play ``num_lanes`` full self-play games and emit training samples.
-
-    ``temperature`` is the per-turn action-selection schedule
-    (``src/params.jl:49-57``); ``flip_probability`` applies a random board
-    symmetry before each move (``src/play.jl:305-307``).
-    """
-    L = num_moves_cap or game.max_game_length
+def _make_move_fn(game: Game, oracle: mcts.Oracle, cfg, temperature,
+                  num_lanes: int, flip_probability: float):
+    """The per-move scan body shared by the fused and segmented drivers."""
     B = num_lanes
     use_gumbel = isinstance(cfg, gumbel.GumbelConfig)
     reuse = (not use_gumbel) and getattr(cfg, "reuse_tree", False)
@@ -114,19 +106,27 @@ def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
         sims = sims + jnp.sum((~done).astype(jnp.int32)) * cfg.num_sims
         return (s2, ctree, cvalid, traversed, sims), out
 
-    rng, init_key = jax.random.split(rng)
-    s0 = game.init_batch(B, init_key)
-    ctree0, cvalid0 = mcts.empty_carry(
-        game, cfg.reuse_cap if reuse else 1, B)
-    keys = jax.random.split(rng, L)
-    (sf, _, _, traversed, sims), tr = jax.lax.scan(
-        move, (s0, ctree0, cvalid0,
-               jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
-        (jnp.arange(L), keys))
+    return move, reuse
 
-    # discounted returns, walked backwards (``src/memory.jl:74-87``)
+
+def _init_carry(game: Game, cfg, num_lanes: int, reuse: bool, init_key):
+    s0 = game.init_batch(num_lanes, init_key)
+    ctree0, cvalid0 = mcts.empty_carry(
+        game, cfg.reuse_cap if reuse else 1, num_lanes)
+    return (s0, ctree0, cvalid0,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+
+def _finalize_traces(game: Game, gamma: float, num_lanes: int, carry, tr
+                     ) -> TraceBatch:
+    """Trace -> training samples: discounted returns walked backwards with
+    per-player sign flips and remaining-move counts (``src/memory.jl:74-87``)."""
+    B = num_lanes
+    L = tr["r"].shape[0]
+    _, _, _, traversed, sims = carry
+
     def disc(wr_next, r_t):
-        wr = r_t + cfg.gamma * wr_next
+        wr = r_t + gamma * wr_next
         return wr, wr
 
     _, wr = jax.lax.scan(disc, jnp.zeros((B,)), tr["r"], reverse=True)
@@ -150,6 +150,81 @@ def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
         nodes_traversed=traversed,
         num_sims=sims,
     )
+
+
+def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
+                    temperature: Schedule, num_lanes: int, rng,
+                    flip_probability: float = 0.0,
+                    num_moves_cap: int = 0) -> TraceBatch:
+    """Play ``num_lanes`` full self-play games and emit training samples.
+
+    ``temperature`` is the per-turn action-selection schedule
+    (``src/params.jl:92-101``); ``flip_probability`` applies a random board
+    symmetry before each move (``src/play.jl:305-307``).
+
+    The whole episode batch is ONE jittable program (a ``scan`` over the
+    padded game length) — use :func:`make_segmented_self_play` when this is
+    itself the dispatch unit on real hardware (long single dispatches can
+    exceed the TPU worker's tolerance; see NOTES.md).
+    """
+    L = num_moves_cap or game.max_game_length
+    B = num_lanes
+    move, reuse = _make_move_fn(game, oracle, cfg, temperature, B,
+                                flip_probability)
+    rng, init_key = jax.random.split(rng)
+    carry0 = _init_carry(game, cfg, B, reuse, init_key)
+    keys = jax.random.split(rng, L)
+    carry, tr = jax.lax.scan(move, carry0, (jnp.arange(L), keys))
+    return _finalize_traces(game, cfg.gamma, B, carry, tr)
+
+
+def make_segmented_self_play(game: Game, network_fwd, cfg,
+                             temperature: Schedule, num_lanes: int,
+                             flip_probability: float = 0.0,
+                             segment_moves: int = 8,
+                             num_moves_cap: int = 0):
+    """Self-play split into short per-segment dispatches.
+
+    Functionally identical to jitting :func:`self_play_batch`, but each
+    device dispatch covers only ``segment_moves`` moves: single dispatches
+    beyond ~1 minute reproducibly crash the axon TPU worker (NOTES.md), so
+    the episode scan runs as a host loop over jitted segments with the
+    (device-resident) carry threaded through and per-segment traces
+    concatenated on device.
+
+    ``network_fwd(net, states, obs, mask) -> (P, V)`` binds the network
+    explicitly so the segment program caches across net updates.  Returns
+    ``run(net, rng) -> TraceBatch``.
+    """
+    B = num_lanes
+    L = num_moves_cap or game.max_game_length
+
+    def seg(net, carry, turns, keys):
+        def oracle(states, obs, mask):
+            return network_fwd(net, states, obs, mask)
+        move, _ = _make_move_fn(game, oracle, cfg, temperature, B,
+                                flip_probability)
+        return jax.lax.scan(move, carry, (turns, keys))
+
+    seg_jit = jax.jit(seg)
+    fin_jit = jax.jit(
+        lambda carry, tr: _finalize_traces(game, cfg.gamma, B, carry, tr))
+    reuse = (not isinstance(cfg, gumbel.GumbelConfig)
+             and getattr(cfg, "reuse_tree", False))
+
+    def run(net, rng) -> TraceBatch:
+        rng, init_key = jax.random.split(rng)
+        carry = _init_carry(game, cfg, B, reuse, init_key)
+        keys = jax.random.split(rng, L)
+        trs = []
+        for s in range(0, L, segment_moves):
+            e = min(s + segment_moves, L)
+            carry, tr = seg_jit(net, carry, jnp.arange(s, e), keys[s:e])
+            trs.append(tr)
+        tr = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *trs)
+        return fin_jit(carry, tr)
+
+    return run
 
 
 def tree_memory_footprint(game: Game, cfg: mcts.MCTSConfig,

@@ -116,16 +116,15 @@ def _selfplay_program(game: Game, netspec: NetworkSpec,
     network = Network(game, netspec)
     cfg = arenamod.mcts_config(p)
 
-    @jax.jit
-    def run(net: NetState, rng):
-        def oracle(states, obs, mask):
-            pol, _, v, _ = network.forward_normalized(net, obs, mask)
-            return pol, v
-        return spmod.self_play_batch(
-            game, oracle, cfg, p.temperature, num_lanes, rng,
-            flip_probability=flip_probability)
+    def fwd(net: NetState, states, obs, mask):
+        pol, _, v, _ = network.forward_normalized(net, obs, mask)
+        return pol, v
 
-    return run
+    # segmented dispatches: one fused 42-move program runs minutes per
+    # dispatch at flagship size and crashes the TPU worker (NOTES.md)
+    return spmod.make_segmented_self_play(
+        game, fwd, cfg, p.temperature, num_lanes,
+        flip_probability=flip_probability)
 
 
 def self_play_step(env: AZEnv, handlers: Handlers) -> R.SelfPlay:
