@@ -212,6 +212,9 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
     reuse = (not isinstance(cfg, gumbel.GumbelConfig)
              and getattr(cfg, "reuse_tree", False))
 
+    all_done_jit = jax.jit(
+        lambda states: jnp.all(jax.vmap(game.terminated)(states)))
+
     def run(net, rng) -> TraceBatch:
         rng, init_key = jax.random.split(rng)
         carry = _init_carry(game, cfg, B, reuse, init_key)
@@ -221,6 +224,10 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
             e = min(s + segment_moves, L)
             carry, tr = seg_jit(net, carry, jnp.arange(s, e), keys[s:e])
             trs.append(tr)
+            # host-level early exit the fused scan couldn't do: stop
+            # searching once every lane's game has ended
+            if e < L and bool(all_done_jit(carry[0])):
+                break
         tr = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *trs)
         return fin_jit(carry, tr)
 
