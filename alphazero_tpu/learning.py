@@ -109,23 +109,48 @@ def _programs(game: Game, spec: NetworkSpec, lp: cfgmod.LearningParams,
         return TrainerState(NetState(params, stats), rng), lvals
 
     @jax.jit
-    def learning_status(net: NetState, ds: memmod.Dataset, w, Wmean, Hp):
+    def learning_status(net: NetState, ds: memmod.Dataset, w, Wmean, Hp,
+                        rng):
         """Weighted loss decomposition + entropies over the full dataset
         (``learning.jl:159-180``), scanned in chunks; train-mode BN with
-        running-stat updates carried through."""
+        running-stat updates carried through (the reference's high-momentum
+        imprinting trick, ``resnet.jl:19-24``).
+
+        The chunks draw from a *shuffled* order of the valid samples, with
+        padding positions wrapped back onto valid rows and stat updates
+        frozen on pure-padding chunks.  Both matter: the merged dataset is
+        sorted by state key and padded to capacity, so a sequential scan
+        would imprint the BN running averages with the statistics of a
+        correlated tail — or, past ``count``, of all-zero boards — leaving
+        eval-mode inference (arena, benchmarks) with garbage normalization
+        (measured: value-head corr 0.29 -> 0.05 and a +0.65 output bias on
+        the flagship run; see tests/test_training.py::test_bn_imprinting).
+        The loss sums are permutation-invariant so the reported numbers are
+        unaffected."""
         bs = lp.loss_computation_batch_size
-        nchunks = (ds.z.shape[0] + bs - 1) // bs
+        L_pad = ds.z.shape[0]
+        nchunks = (L_pad + bs - 1) // bs
+        count = jnp.maximum(ds.count, 1)
+        # valid-first shuffled ordering: perm[:count] is a random
+        # permutation of the valid sample indices
+        r = jax.random.uniform(rng, (L_pad,)) + (
+            jnp.arange(L_pad) >= count) * 2.0
+        perm = jnp.argsort(r)
 
         def chunk(carry, i):
             stats, sums = carry
             base = i * bs
-            idx = jnp.minimum(base + jnp.arange(bs), ds.z.shape[0] - 1)
-            in_range = (base + jnp.arange(bs)) < jnp.maximum(ds.count, 1)
+            offs = base + jnp.arange(bs)
+            idx = perm[offs % count]
+            in_range = offs < count
             batch = _batch_from(game, ds, w, idx)
             batch["W"] = jnp.where(in_range, batch["W"], 0.0)
             net = NetState(ts_params, stats)
             phat, pinv, vhat, new_stats = network.forward_normalized(
                 net, batch["X"], batch["A"], train=True)
+            # chunks past the valid range keep the carried stats unchanged
+            new_stats = jax.tree.map(
+                lambda a, b: jnp.where(base < count, a, b), new_stats, stats)
             wsum = jnp.sum(batch["W"])
             v = batch["V"] / lp.rewards_renormalization
             vh = vhat / lp.rewards_renormalization
@@ -209,9 +234,11 @@ class Trainer:
 
     def learning_status(self) -> R.LearningStatus:
         progs = _programs(self.game, self.spec, self.lp, 1)
+        rng, sub = jax.random.split(self.state.rng)
         vals, net = progs["learning_status"](
-            self.state.net, self.dataset, self.weights, self.Wmean, self.Hp)
-        self.state = self.state._replace(net=net)
+            self.state.net, self.dataset, self.weights, self.Wmean, self.Hp,
+            sub)
+        self.state = self.state._replace(net=net, rng=rng)
         Ltot, Lp, Lv, Lreg, Linv, Hp, Hpnet = map(float, np.asarray(vals))
         return R.LearningStatus(
             loss=R.Loss(L=Ltot, Lp=Lp, Lv=Lv, Lreg=Lreg, Linv=Linv),

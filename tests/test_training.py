@@ -104,3 +104,78 @@ def test_benchmark_duel_small():
     assert ev.avgr > 0.2, f"MCTS should beat random, got {ev.avgr}"
     won, draw, lost = A.ternary_stats(ev.rewards)
     assert won + draw + lost == 16 and won > lost
+
+
+def test_bn_imprinting_survives_sorted_padded_dataset():
+    """``learning_status`` must leave the network's batch-norm running
+    statistics representative of the *valid data* — not of the sorted tail
+    or the zero padding of the merged dataset.  Regression test for the
+    flagship-run bug where eval-mode inference (arena/benchmarks) saw BN
+    stats imprinted by hundreds of all-padding chunks and produced a
+    constant-biased value head (see learning.py ``learning_status``)."""
+    import dataclasses
+
+    from alphazero_tpu import config as cfgmod
+    from alphazero_tpu import learning as learnmod
+    from alphazero_tpu import memory as memmod
+    from alphazero_tpu.envs import registry
+    from alphazero_tpu.models import Adam, SimpleNetSpec
+    from alphazero_tpu.models.interface import Network
+    from alphazero_tpu.selfplay import self_play_batch
+    from alphazero_tpu.search import mcts
+    from alphazero_tpu.utils.schedules import ConstSchedule
+
+    game = registry()["tictactoe"]
+    spec = SimpleNetSpec(width=32, depth_common=1, use_batch_norm=True)
+    network = Network(game, spec)
+    net = network.init(jax.random.key(0))
+
+    # real self-play data in a replay padded far beyond the sample count,
+    # so most status chunks would be pure padding without the fix
+    cfg = mcts.MCTSConfig(num_sims=8)
+    tb = self_play_batch(game, mcts.random_oracle(game), cfg,
+                         ConstSchedule(1.0), 256, jax.random.key(1))
+    replay = memmod.init_replay(game, 8192)
+    replay = memmod.push(replay, tb.states, tb.pi, tb.z, tb.t, tb.key,
+                         tb.valid)
+    assert int(replay.size) < 3000  # mostly padding
+
+    lp = cfgmod.LearningParams(
+        optimiser=Adam(lr=1e-3), l2_regularization=0.0,
+        batch_size=32, loss_computation_batch_size=256,
+        min_checkpoints_per_epoch=0, max_batches_per_checkpoint=4,
+        num_checkpoints=1)
+    trainer = learnmod.Trainer(game, spec, net, replay, lp,
+                               use_symmetries=False, rng=jax.random.key(2))
+    trainer.batch_updates(8)      # move params/stats off their init values
+    net1 = trainer.state.net
+    trainer.learning_status()     # the imprint pass under test
+    net2 = trainer.state.net
+
+    # ground truth: a long manual imprint over *shuffled valid* merged
+    # samples, starting from the same pre-status network
+    from alphazero_tpu.models.interface import NetState
+    ds = trainer.dataset
+    count = int(ds.count)
+    rng = np.random.default_rng(0)
+    stats = net1.batch_stats
+    for _ in range(40):
+        idx = rng.choice(count, 256, replace=False)
+        st = jax.tree.map(lambda x: x[idx], ds.states)
+        o = jax.vmap(game.observe)(st)
+        m = jax.vmap(game.legal_mask)(st)
+        _, _, _, stats = network.forward_normalized(
+            NetState(net1.params, stats), o, m, train=True)
+    ref = NetState(net2.params, stats)
+
+    # eval-mode outputs under the scan-imprinted stats must match the
+    # ground-truth imprint; under the old sequential/padded scan they were
+    # the statistics of all-zero boards and diverged wildly
+    n = int(replay.size)
+    states = jax.tree.map(lambda x: x[:n], replay.states)
+    obs = jax.vmap(game.observe)(states)
+    mask = jax.vmap(game.legal_mask)(states)
+    _, _, v_scan, _ = network.forward_normalized(net2, obs, mask)
+    _, _, v_ref, _ = network.forward_normalized(ref, obs, mask)
+    err = float(jnp.mean(jnp.abs(v_scan - v_ref)))
+    assert err < 0.05, err
