@@ -124,9 +124,11 @@ def _programs(game: Game, spec: NetworkSpec, lp: cfgmod.LearningParams,
         correlated tail — or, past ``count``, of all-zero boards — leaving
         eval-mode inference (arena, benchmarks) with garbage normalization
         (measured: value-head corr 0.29 -> 0.05 and a +0.65 output bias on
-        the flagship run; see tests/test_training.py::test_bn_imprinting).
-        The loss sums are permutation-invariant so the reported numbers are
-        unaffected."""
+        the flagship run; regression test: tests/test_training.py::
+        test_bn_imprinting_survives_sorted_padded_dataset).  The W-weighted
+        loss sums are permutation-invariant; the reported numbers still
+        carry the (small) train-mode BN dependence on how the chunks are
+        composed, which now varies with ``rng``."""
         bs = lp.loss_computation_batch_size
         L_pad = ds.z.shape[0]
         nchunks = (L_pad + bs - 1) // bs
@@ -137,9 +139,7 @@ def _programs(game: Game, spec: NetworkSpec, lp: cfgmod.LearningParams,
             jnp.arange(L_pad) >= count) * 2.0
         perm = jnp.argsort(r)
 
-        def chunk(carry, i):
-            stats, sums = carry
-            base = i * bs
+        def real_chunk(stats, base):
             offs = base + jnp.arange(bs)
             idx = perm[offs % count]
             in_range = offs < count
@@ -148,9 +148,9 @@ def _programs(game: Game, spec: NetworkSpec, lp: cfgmod.LearningParams,
             net = NetState(ts_params, stats)
             phat, pinv, vhat, new_stats = network.forward_normalized(
                 net, batch["X"], batch["A"], train=True)
-            # chunks past the valid range keep the carried stats unchanged
+            # never imprint stats from an empty dataset (count clamped)
             new_stats = jax.tree.map(
-                lambda a, b: jnp.where(base < count, a, b), new_stats, stats)
+                lambda a, b: jnp.where(ds.count > 0, a, b), new_stats, stats)
             wsum = jnp.sum(batch["W"])
             v = batch["V"] / lp.rewards_renormalization
             vh = vhat / lp.rewards_renormalization
@@ -165,7 +165,17 @@ def _programs(game: Game, spec: NetworkSpec, lp: cfgmod.LearningParams,
                 jnp.sum(hnet * batch["W"]),
                 jnp.sum(hp_ * batch["W"]),
             ])
-            return (new_stats, sums + add), None
+            return new_stats, add
+
+        def chunk(carry, i):
+            stats, sums = carry
+            base = i * bs
+            # skip the network forward entirely on pure-padding chunks
+            # (up to half the scan when the buffer is far from full)
+            stats, add = jax.lax.cond(
+                base < count, real_chunk,
+                lambda s, b: (s, jnp.zeros((6,))), stats, base)
+            return (stats, sums + add), None
 
         ts_params = net.params
         (stats, sums), _ = jax.lax.scan(
