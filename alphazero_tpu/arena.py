@@ -46,6 +46,7 @@ def mcts_config(p: cfgmod.MctsParams):
             c_scale=p.gumbel_c_scale,
             gamma=p.gamma,
             prior_temperature=p.prior_temperature,
+            max_depth=p.max_depth,
         )
     return mcts.MCTSConfig(
         num_sims=p.num_iters_per_turn,
@@ -56,6 +57,7 @@ def mcts_config(p: cfgmod.MctsParams):
         prior_temperature=p.prior_temperature,
         reuse_tree=p.reuse_tree,
         reuse_cap=p.reuse_cap,
+        max_depth=p.max_depth,
     )
 
 

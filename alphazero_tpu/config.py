@@ -50,6 +50,10 @@ class MctsParams:
     # reference's per-game transposition-table persistence)
     reuse_tree: bool = False
     reuse_cap: int = 256
+    # optional descent-depth cap (mctx-style; None = exact reference
+    # semantics, depth bounded by game length).  The per-simulation update
+    # cost scales with this bound; see MCTSConfig.max_depth
+    max_depth: Optional[int] = None
 
     def replace(self, **kw) -> "MctsParams":
         return dataclasses.replace(self, **kw)

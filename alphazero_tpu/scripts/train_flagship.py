@@ -27,6 +27,14 @@ def main(argv=None):
     ap.add_argument("--games", type=int, default=5000)
     ap.add_argument("--sims", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--algorithm", choices=["puct", "gumbel"],
+                    default="puct",
+                    help="search algorithm for self-play AND the gating "
+                         "arena (benchmark baselines stay the standard "
+                         "PUCT/minmax protocol)")
+    ap.add_argument("--arena-sims", type=int, default=None,
+                    help="override arena simulation count (default: same "
+                         "as --sims)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -40,8 +48,14 @@ def main(argv=None):
     sp = dataclasses.replace(
         sp,
         sim=sp.sim.replace(num_games=args.games, num_lanes=args.lanes),
-        mcts=sp.mcts.replace(num_iters_per_turn=args.sims))
-    p = dataclasses.replace(p, self_play=sp, num_iters=args.iters)
+        mcts=sp.mcts.replace(num_iters_per_turn=args.sims,
+                             algorithm=args.algorithm))
+    arena = dataclasses.replace(
+        p.arena, mcts=p.arena.mcts.replace(
+            num_iters_per_turn=args.arena_sims or args.sims,
+            algorithm=args.algorithm))
+    p = dataclasses.replace(p, self_play=sp, arena=arena,
+                            num_iters=args.iters)
     exp = dataclasses.replace(exp, params=p)
 
     session = Session(exp, dir=args.dir, seed=args.seed,
