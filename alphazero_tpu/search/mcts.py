@@ -107,6 +107,13 @@ class MCTSConfig:
     # over deepen the effective search at the same per-move budget.
     reuse_tree: bool = False
     reuse_cap: int = 256
+    # Backprop-update formulation: "scatter" = one flat scatter-add
+    # (TPU scatters serialize at ~20 ns/slot inside the sim loop);
+    # "dense" = one-hot batched matmul on the MXU producing the full dense
+    # update, plus one slab add (see scripts/profile_update.py for the
+    # measured comparison).  Semantically identical up to float summation
+    # order (tests/test_mcts.py::test_dense_update_matches_scatter).
+    update: str = "scatter"
 
 
 class Tree(NamedTuple):
@@ -614,6 +621,41 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         return stats.reshape(-1).at[all_idx].add(
             all_upd, mode="drop", unique_indices=True).reshape(cap, B, S)
 
+    def apply_update_dense(stats, nodes, actions, on_path, q_edges,
+                           expanding, parent_idx, expand_action, child_val):
+        """One-hot batched matmul on the MXU: per lane,
+        ``[D+1, cap+1]^T @ [D+1, S] -> [cap+1, S]`` where rows 0..D-1 carry
+        the path-edge qsum/visit columns and row D the exactly-once
+        child-pointer install; off-path/non-expanding rows hit the padding
+        node row ``cap`` (sliced off).  f32 dot (bf16x3 on the MXU) keeps
+        visit counts exact and qsum at f32 fidelity."""
+        cap, _, S = stats.shape
+        D = q_edges.shape[1]
+        node_rows = jnp.concatenate(
+            [jnp.where(on_path, nodes, cap),
+             jnp.where(expanding, parent_idx, cap)[:, None]], axis=1)
+        lhs = (node_rows[:, :, None] ==
+               jnp.arange(cap + 1)[None, None, :]).astype(jnp.float32)
+        a_onehot = (actions[:, :, None] ==
+                    jnp.arange(ap)[None, None, :]).astype(jnp.float32)
+        qcols = a_onehot * q_edges[:, :, None]
+        vcols = a_onehot * on_path.astype(jnp.float32)[:, :, None]
+        rows_d = jnp.concatenate(
+            [qcols, vcols, jnp.zeros((B, D, S - 2 * ap))], axis=-1)
+        c_onehot = (expand_action[:, None] ==
+                    jnp.arange(ap)[None, :]).astype(jnp.float32)
+        row_child = jnp.concatenate(
+            [jnp.zeros((B, 2 * ap)), c_onehot * child_val[:, None],
+             jnp.zeros((B, S - 3 * ap))], axis=-1)
+        rhs = jnp.concatenate([rows_d, row_child[:, None, :]], axis=1)
+        upd = jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [B, cap+1, S]
+        return stats + jnp.transpose(upd[:, :cap, :], (1, 0, 2))
+
+    apply_update = (apply_update_dense if cfg.update == "dense"
+                    else apply_update_xla)
+
     def run_staged(body_fn):
         """Drive ``body_fn`` over sims 1..num_sims in growing-capacity stages
         (slab padded at each boundary; see ``MCTSConfig.stages``)."""
@@ -649,7 +691,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             leaf_value = cap_leaf_value(tree, sel, leaf_value)
             q_edges, on_path, nodes, actions = _edge_updates(
                 tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
-            stats = apply_update_xla(
+            stats = apply_update(
                 tree.stats, nodes, actions, on_path, q_edges, expanding,
                 parent_idx, sel.expand_action,
                 jnp.full((B,), 0.0, jnp.float32) + (slot + 1.0))

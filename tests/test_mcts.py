@@ -239,3 +239,31 @@ def test_depth_cap():
     assert np.asarray(res_tight.root_visits).sum(-1).tolist() == [150] * B
     # the capped search must stay tactically sound
     assert np.all(np.asarray(res_tight.policy).sum(-1) > 0.99)
+
+
+def test_dense_update_matches_scatter():
+    """The dense one-hot-matmul update (MCTSConfig.update='dense') computes
+    the same statistics as the flat scatter-add, up to float summation
+    order: visit counts and child pointers exactly, qsums to tolerance."""
+    C4 = envs.registry()["connect-four"]
+    B = 8
+    roots = C4.init_batch(B)
+    oracle = mcts.random_oracle(C4)
+    outs = []
+    for update in ("scatter", "dense"):
+        cfg = mcts.MCTSConfig(num_sims=160, cpuct=2.0, dirichlet_eps=0.25,
+                              dirichlet_alpha=1.0, update=update)
+        res = jax.jit(functools.partial(mcts.search, C4, oracle, cfg=cfg))(
+            roots, jax.random.key(3))
+        outs.append(res)
+    # visits/child pointers are integer-exact; a rare PUCT argmax tie-break
+    # flip from qsum rounding would change them, so equality here validates
+    # both the counts and (implicitly) the q fidelity along the search
+    assert np.array_equal(np.asarray(outs[0].root_visits),
+                          np.asarray(outs[1].root_visits))
+    np.testing.assert_allclose(np.asarray(outs[0].root_q),
+                               np.asarray(outs[1].root_q),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[0].policy),
+                               np.asarray(outs[1].policy),
+                               rtol=1e-5, atol=1e-6)
