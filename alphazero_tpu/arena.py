@@ -99,7 +99,7 @@ class Full(PlayerSpec):
     mcts: cfgmod.MctsParams
 
     def make_think(self, game, netspec):
-        network = Network(game, netspec)
+        network = Network(game, netspec.inference_spec())
         cfg = mcts_config(self.mcts)
 
         def think(net, states, turn, rng):
@@ -120,7 +120,7 @@ class NetworkOnly(PlayerSpec):
     tau: float = 1.0
 
     def make_think(self, game, netspec):
-        network = Network(game, netspec)
+        network = Network(game, netspec.inference_spec())
 
         def think(net, states, turn, rng):
             obs = jax.vmap(game.observe)(states)

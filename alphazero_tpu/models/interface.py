@@ -40,6 +40,15 @@ class NetworkSpec:
     def build(self, game: Game):
         raise NotImplementedError
 
+    def inference_spec(self) -> "NetworkSpec":
+        """The spec used by inference-only programs (self-play oracles,
+        arena/benchmark players).  Parameters and BN statistics stay f32
+        and are shared with the training spec; subclasses may lower the
+        *compute* dtype (bf16 rides the MXU at twice the f32 rate).  The
+        reference's analogue is the ``test_mode`` network copy
+        (``network.jl:323-328``)."""
+        return self
+
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)
         d["type"] = type(self).__name__

@@ -74,6 +74,12 @@ class ResNetSpec(NetworkSpec):
     num_value_head_filters: int = 1
     batch_norm_momentum: float = 0.6  # Flux convention
     compute_dtype: str = "float32"
+    # compute dtype for inference-only programs (self-play oracle, arena,
+    # benchmarks); params/BN stats stay f32 and are shared with training
+    inference_dtype: str = "bfloat16"
+
+    def inference_spec(self) -> "ResNetSpec":
+        return dataclasses.replace(self, compute_dtype=self.inference_dtype)
 
     def build(self, game: Game):
         assert all(k % 2 == 1 for k in self.conv_kernel_size)

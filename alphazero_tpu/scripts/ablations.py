@@ -83,7 +83,7 @@ def _reuse_duel(env, base_mcts, args, rng):
     from ..search import mcts as M
 
     game = env.game
-    network = Network(game, env.netspec)
+    network = Network(game, env.netspec.inference_spec())
     net = env.bestnn
     B, K = args.lanes, base_mcts.reuse_cap
     rcfg = A.mcts_config(base_mcts.replace(reuse_tree=True))

@@ -37,7 +37,7 @@ from .. import memory as memmod
 from .. import report as R
 from .. import training
 from ..experiments import Experiment
-from ..models.interface import NetState, Network
+from ..models.interface import NetState, Network, NetworkSpec
 from .log import Logger
 
 
@@ -126,8 +126,11 @@ class Session(training.Handlers):
             meta = json.load(f)
         with open(os.path.join(self.dir, "netspec.json")) as f:
             saved_spec = json.load(f)
-        # normalize through JSON (tuples become lists) before comparing
-        if saved_spec != json.loads(json.dumps(e.netspec.to_json())):
+        # normalize through from_json/to_json (tuples become lists; fields
+        # added since the save get their defaults) before comparing
+        saved_spec = NetworkSpec.from_json(saved_spec).to_json()
+        if (json.loads(json.dumps(saved_spec))
+                != json.loads(json.dumps(e.netspec.to_json()))):
             raise ValueError(
                 "Session directory was created with a different network "
                 f"spec: {saved_spec} != {e.netspec.to_json()}")

@@ -113,7 +113,7 @@ def initial_report(env: AZEnv) -> R.Initial:
 def _selfplay_program(game: Game, netspec: NetworkSpec,
                       p: cfgmod.MctsParams, num_lanes: int,
                       flip_probability: float):
-    network = Network(game, netspec)
+    network = Network(game, netspec.inference_spec())
     cfg = arenamod.mcts_config(p)
 
     def fwd(net: NetState, states, obs, mask):
