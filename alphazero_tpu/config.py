@@ -147,12 +147,22 @@ def check_params(game, p: Params) -> Tuple[list, list]:
     """Static consistency checks (``src/params.jl:361-384``)."""
     errors, warnings = [], []
     sims = [p.self_play.sim] + ([p.arena.sim] if p.arena else [])
-    if any(s.flip_probability != 0 for s in sims) and game.symmetrize is None:
-        errors.append("flip_probability > 0 requires game symmetries")
+    # the runtime flip path gates on random_symmetry (selfplay.py/arena.py),
+    # not symmetrize — validate the field that is actually consulted
+    if (any(s.flip_probability != 0 for s in sims)
+            and game.random_symmetry is None):
+        errors.append("flip_probability > 0 requires game.random_symmetry")
     if any(s.num_lanes > s.num_games for s in sims):
         warnings.append("num_lanes > num_games: lanes will be wasted")
     if p.learning.batch_size > p.mem_buffer_size(0):
         warnings.append("learning batch_size exceeds initial memory size")
+    sp = p.self_play.sim
+    max_batch = sp.num_lanes * game.max_game_length
+    if any(p.mem_buffer_size(i) < max_batch for i in range(p.num_iters)):
+        warnings.append(
+            f"mem_buffer_size < num_lanes * max_game_length (= {max_batch}):"
+            " a single self-play round can overflow the ring; only the"
+            " newest samples will be kept")
     return errors, warnings
 
 

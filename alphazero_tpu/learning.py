@@ -229,11 +229,16 @@ class Trainer:
         return self.num_samples // self.lp.batch_size
 
     def batches_per_checkpoint(self) -> int:
-        """``learning.jl:211-216``"""
+        """``learning.jl:211-216``, quantized to multiples of 128 above 128
+        so the ``nsteps``-long jitted update scan caches across iterations
+        (the raw count tracks the growing dataset and would force a fresh
+        multi-minute XLA compile every iteration)."""
         n = self.lp.max_batches_per_checkpoint
         if self.lp.min_checkpoints_per_epoch:
             n = min(n, self.num_batches_total()
                     // self.lp.min_checkpoints_per_epoch)
+        if n > 128:
+            n = n // 128 * 128
         return max(n, 1)
 
     def batch_updates(self, nsteps: int) -> np.ndarray:

@@ -83,7 +83,12 @@ def push(replay: Replay, states, pi, z, t, key, valid) -> Replay:
     valid = valid.astype(jnp.int32)
     rank = jnp.cumsum(valid) - 1
     nvalid = jnp.sum(valid)
-    idx = jnp.where(valid > 0, (replay.ptr + rank) % cap, cap)  # cap = drop
+    # if one batch holds more valid samples than the ring (misconfigured
+    # buffer; check_params warns), keep only the newest ``cap`` — otherwise
+    # wrapped scatter indices would collide nondeterministically
+    keep = rank >= nvalid - cap
+    idx = jnp.where((valid > 0) & keep,
+                    (replay.ptr + rank) % cap, cap)  # cap = drop
 
     def scat(buf, val):
         return buf.at[idx].set(val, mode="drop")

@@ -27,6 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import arena as arenamod
@@ -119,6 +120,10 @@ def sharded_train_iteration(game: Game, netspec: NetworkSpec,
                                  use_position_averaging=lp.use_position_averaging)
         w = memmod.sample_weights(ds, lp.samples_weighing_policy)
         Wmean = jnp.sum(w) / jnp.maximum(ds.count, 1)
+        # dataset policy entropy, so reported Lp/L match the single-chip
+        # Trainer's KL convention (learning.jl:63)
+        ent = -jnp.sum(ds.pi * jnp.log(ds.pi + L.EPS), axis=-1)
+        Hp = jnp.sum(ent * w) / jnp.maximum(jnp.sum(w), 1e-12)
         opt_state = opt.init(net.params)
 
         def step(carry, key):
@@ -128,8 +133,7 @@ def sharded_train_iteration(game: Game, netspec: NetworkSpec,
             batch = _batch_from(game, ds, w, idx)
             batch = shard_lanes(mesh, batch)
             (lval, (_, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, stats, batch, Wmean, 0.0)
-            import optax
+                loss_fn, has_aux=True)(params, stats, batch, Wmean, Hp)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, new_stats, opt_state), lval

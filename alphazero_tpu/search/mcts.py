@@ -79,10 +79,14 @@ class MCTSConfig:
     dirichlet_eps: float = 0.0
     dirichlet_alpha: float = 1.0
     prior_temperature: float = 1.0
-    # True: use the Pallas descent kernel (ops/fused_mcts.py).  Default off:
-    # at flagship tree sizes the kernel's one-hot row gathers are O(N) per
-    # step and only break even with the tuned XLA path; it becomes the
-    # default once the scalar-prefetch update kernel lands.
+    # True: apply the per-sim stats update with the Pallas scalar-prefetch
+    # kernel (ops/pallas_update.py; the XLA descent is kept).  Default off:
+    # on TPU the kernel is blocked by minor-dim tile padding (see NOTES.md);
+    # it runs bit-exact in interpret mode and on-chip for S=128-padded
+    # shapes.  The standalone Pallas descent kernel lives in
+    # ops/fused_mcts.py (pallas_select, tested in interpret mode); it only
+    # breaks even with the tuned XLA descent at flagship tree sizes, so it
+    # is not wired into the search loop.
     fused: Optional[bool] = None
     # Staged tree growth: after simulation i the tree holds at most i+1
     # nodes, so the sim loop runs in `stages` chunks whose node slabs are
@@ -773,13 +777,18 @@ def rollout_oracle(game: Game, gamma: float = 1.0,
         p = mask.astype(jnp.float32)
         p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1.0)
         # derive per-call randomness from the state contents so the oracle
-        # stays a pure function (fresh randomness per distinct query)
-        keys0 = jax.vmap(
-            lambda s: jax.random.fold_in(
-                jax.random.key(rng_seed),
-                jnp.sum(jnp.abs(jnp.concatenate(
-                    [x.reshape(-1).astype(jnp.int32)
-                     for x in jax.tree.leaves(s)])))))(states)
+        # stays a pure function: fold every state element into the key so
+        # that distinct states never collide (a plain element-sum would
+        # alias all states with the same stone multiset onto one rollout)
+        def state_key(s):
+            flat = jnp.concatenate([x.reshape(-1).astype(jnp.int32)
+                                    for x in jax.tree.leaves(s)])
+            k = jax.random.key(rng_seed)
+            return jax.lax.fori_loop(
+                0, flat.shape[0],
+                lambda i, k: jax.random.fold_in(k, flat[i]), k)
+
+        keys0 = jax.vmap(state_key)(states)
 
         def body(carry, _):
             s, disc, acc, keys = carry

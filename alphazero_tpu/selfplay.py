@@ -51,13 +51,13 @@ def _make_move_fn(game: Game, oracle: mcts.Oracle, cfg, temperature,
     def move(carry, inp):
         s, ctree, cvalid, traversed, sims = carry
         turn, key = inp
-        k_flip, k_search, k_act, k_step = jax.random.split(key, 4)
+        k_flip, k_sym, k_search, k_act, k_step = jax.random.split(key, 5)
         done = jax.vmap(game.terminated)(s)
         if flip_probability > 0 and game.random_symmetry is not None:
             do_flip = jax.random.bernoulli(
                 k_flip, flip_probability, (B,)) & ~done
             flipped = jax.vmap(game.random_symmetry)(
-                s, jax.random.split(k_flip, B))
+                s, jax.random.split(k_sym, B))
             s = jax.tree.map(
                 lambda f, o: jnp.where(
                     do_flip.reshape((-1,) + (1,) * (f.ndim - 1)), f, o),

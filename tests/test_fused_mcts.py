@@ -39,3 +39,45 @@ def test_fused_matches_xla(gamma):
         np.testing.assert_allclose(
             np.asarray(rx.tree.stats), np.asarray(rf.tree.stats), atol=1e-4)
         assert int(rx.nodes_traversed) == int(rf.nodes_traversed)
+
+
+def test_pallas_select_matches_xla_descent():
+    """The standalone Pallas descent kernel (ops/fused_mcts.pallas_select,
+    not wired into the search loop — see MCTSConfig.fused) must agree with
+    the XLA ``_select`` on a mid-search tree: same expansion edges, paths,
+    and depths.  Interpret mode on CPU."""
+    from alphazero_tpu.ops import fused_mcts as FM
+
+    cfg = mcts.MCTSConfig(num_sims=24, cpuct=1.25, dirichlet_eps=0.0,
+                          stages=1)
+    roots = make_jax_roots([PyTTT(), PyTTT().step(4), PyTTT().step(0)])
+    B = 3
+    # build a partially grown tree by running a real search
+    res = jax.jit(
+        lambda r, k: mcts.search(TTT, exact_oracle_jax, r, k, cfg)
+    )(roots, jax.random.key(0))
+    tree = res.tree
+    A = TTT.num_actions
+    ap = mcts._pad_width(A)
+    max_depth = TTT.max_game_length + 1
+    eta = jnp.zeros((B, A))
+
+    sel = mcts._select(tree, eta, cfg, max_depth, A)
+    out = FM.pallas_select(
+        jnp.transpose(tree.stats, (0, 2, 1)),
+        jnp.transpose(tree.prior_legal, (0, 2, 1)),
+        jnp.transpose(tree.meta, (0, 2, 1)),
+        eta.T, max_depth=max_depth, cpuct=cfg.cpuct,
+        eps=cfg.dirichlet_eps, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(sel.expand_parent),
+                                  np.asarray(out.expand_parent))
+    np.testing.assert_array_equal(np.asarray(sel.expand_action),
+                                  np.asarray(out.expand_action))
+    np.testing.assert_array_equal(np.asarray(sel.depth),
+                                  np.asarray(out.depth))
+    d = int(np.asarray(sel.depth).max())
+    np.testing.assert_array_equal(np.asarray(sel.path_nodes)[:, :d],
+                                  np.asarray(out.path_nodes)[:, :d])
+    np.testing.assert_array_equal(np.asarray(sel.path_actions)[:, :d],
+                                  np.asarray(out.path_actions)[:, :d])
