@@ -56,6 +56,21 @@ def test_push_and_wraparound():
     np.testing.assert_allclose(rp2.z[:5], z[::2])
 
 
+def test_push_overflowing_batch_keeps_newest():
+    """One batch with more valid samples than the ring capacity must keep
+    exactly the newest ``cap`` samples (no nondeterministic collisions)."""
+    cap = 8
+    rp = memory.init_replay(TTT, cap)
+    st, pi, z, t, key = _fake_samples(TTT, 20)
+    rp = memory.push(rp, st, pi, z, t, key, jnp.ones(20, bool))
+    assert int(rp.size) == cap
+    # newest 8 of the 20, laid out at (ptr + rank) % cap with ptr0=0:
+    # ranks 12..19 land at slots 12%8..19%8 = 4..7,0..3
+    expect = np.concatenate([z[16:20], z[12:16]])
+    np.testing.assert_allclose(np.asarray(rp.z), expect)
+    assert int(rp.ptr) == 20 % cap
+
+
 def test_resize_keeps_newest():
     rp = memory.init_replay(TTT, 8)
     st, pi, z, t, key = _fake_samples(TTT, 8)
