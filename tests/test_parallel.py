@@ -78,3 +78,32 @@ def test_sharded_selfplay_matches_single_device():
     z2, v2 = run(True)
     np.testing.assert_array_equal(v1, v2)
     np.testing.assert_allclose(z1, z2, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_train_iteration_invariant_to_mesh_size():
+    """The fused self-play -> replay -> SGD iteration must produce the same
+    losses from the same seed on a 1-device and an 8-device mesh (the
+    sharding-layout-independence requirement of BASELINE.md): key splitting
+    never depends on the device layout, and GSPMD only changes reduction
+    order."""
+    game = registry()["tictactoe"]
+    spec = SimpleNetSpec(width=16, depth_common=1)
+    lp = LearningParams(
+        optimiser=Adam(lr=1e-3), l2_regularization=1e-4,
+        batch_size=16, loss_computation_batch_size=16,
+        min_checkpoints_per_epoch=0, max_batches_per_checkpoint=2,
+        num_checkpoints=1)
+    mp = MctsParams(num_iters_per_turn=8, dirichlet_noise_eps=0.25,
+                    dirichlet_noise_alpha=1.0)
+    net = Network(game, spec).init(jax.random.key(0))
+
+    def losses_on(n_devices):
+        run = parallel.sharded_train_iteration(
+            game, spec, mp, lp, num_lanes=16, num_sgd_steps=3,
+            mesh=parallel.make_mesh(n_devices))
+        _, lvals = run(net, jax.random.key(1))
+        return np.asarray(lvals)
+
+    l1, l8 = losses_on(1), losses_on(8)
+    np.testing.assert_allclose(l1, l8, rtol=2e-4, atol=2e-5)
