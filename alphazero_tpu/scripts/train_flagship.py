@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--arena-sims", type=int, default=None,
                     help="override arena simulation count (default: same "
                          "as --sims)")
+    ap.add_argument("--gumbel-considered", type=int, default=8,
+                    help="sequential-halving root candidates; should be "
+                         "close to the legal-action count (7 for c4)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -49,11 +52,13 @@ def main(argv=None):
         sp,
         sim=sp.sim.replace(num_games=args.games, num_lanes=args.lanes),
         mcts=sp.mcts.replace(num_iters_per_turn=args.sims,
-                             algorithm=args.algorithm))
+                             algorithm=args.algorithm,
+                             gumbel_max_considered=args.gumbel_considered))
     arena = dataclasses.replace(
         p.arena, mcts=p.arena.mcts.replace(
             num_iters_per_turn=args.arena_sims or args.sims,
-            algorithm=args.algorithm))
+            algorithm=args.algorithm,
+            gumbel_max_considered=args.gumbel_considered))
     p = dataclasses.replace(p, self_play=sp, arena=arena,
                             num_iters=args.iters)
     exp = dataclasses.replace(exp, params=p)
