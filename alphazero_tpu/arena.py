@@ -360,12 +360,18 @@ def play_duel(game: Game, netspec: Optional[NetworkSpec], spec_a: PlayerSpec,
               spec_b: Optional[PlayerSpec], sim: cfgmod.SimParams,
               net_a, net_b, rng, gamma: float = 1.0) -> DuelResult:
     """Play ``sim.num_games`` games (rounded up to lane multiples), A vs B."""
+    from .utils import watchdog as WD
     prog = _duel_program(game, netspec, spec_a, spec_b, sim.num_lanes,
                          sim.alternate_colors, sim.flip_probability, gamma)
+    steady = WD.dispatch_timeout()
     outs = []
     for r in range(sim.num_rounds):
         rng, sub = jax.random.split(rng)
-        outs.append(prog(net_a, net_b, sub))
+        budget = steady if r else WD.first_call_timeout(steady)
+        with WD.DispatchWatchdog(budget, f"duel round {r}"):
+            out = prog(net_a, net_b, sub)
+            jax.block_until_ready(out.rewards)
+        outs.append(out)
     return DuelResult(
         rewards=jnp.concatenate([o.rewards for o in outs]),
         redundancy=jnp.mean(jnp.stack([o.redundancy for o in outs])),

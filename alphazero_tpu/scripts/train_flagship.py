@@ -38,7 +38,32 @@ def main(argv=None):
     ap.add_argument("--gumbel-considered", type=int, default=8,
                     help="sequential-halving root candidates; should be "
                          "close to the legal-action count (7 for c4)")
+    ap.add_argument("--no-supervise", action="store_true",
+                    help="run in-process without the restart supervisor")
+    ap.add_argument("--max-restarts", type=int, default=8)
     args = ap.parse_args(argv)
+
+    if not args.no_supervise:
+        # elastic recovery: the watchdog (utils/watchdog.py) exits with
+        # EXIT_STUCK when a device dispatch hangs (e.g. TPU worker death);
+        # every iteration is checkpointed, so restart + resume loses at
+        # most one iteration of work
+        import subprocess
+        import sys
+
+        from ..utils.watchdog import EXIT_STUCK
+        child_args = (argv if argv is not None
+                      else sys.argv[1:]) + ["--no-supervise"]
+        for attempt in range(args.max_restarts + 1):
+            code = subprocess.call(
+                [sys.executable, "-m",
+                 "alphazero_tpu.scripts.train_flagship"] + list(child_args))
+            if code == 0:
+                return
+            kind = "stuck dispatch" if code == EXIT_STUCK else f"crash ({code})"
+            print(f"supervisor: child died [{kind}], "
+                  f"restart {attempt + 1}/{args.max_restarts}", flush=True)
+        raise SystemExit("supervisor: too many restarts")
 
     import dataclasses
 

@@ -215,6 +215,10 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
     all_done_jit = jax.jit(
         lambda states: jnp.all(jax.vmap(game.terminated)(states)))
 
+    from .utils import watchdog as WD
+    steady = WD.dispatch_timeout()
+    warmed = set()
+
     def run(net, rng) -> TraceBatch:
         rng, init_key = jax.random.split(rng)
         carry = _init_carry(game, cfg, B, reuse, init_key)
@@ -222,14 +226,25 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
         trs = []
         for s in range(0, L, segment_moves):
             e = min(s + segment_moves, L)
-            carry, tr = seg_jit(net, carry, jnp.arange(s, e), keys[s:e])
-            trs.append(tr)
-            # host-level early exit the fused scan couldn't do: stop
-            # searching once every lane's game has ended
-            if e < L and bool(all_done_jit(carry[0])):
+            # a hung TPU worker leaves the dispatch blocked forever; abort
+            # for supervised restart + resume (utils/watchdog.py)
+            budget = (steady if (e - s) in warmed
+                      else WD.first_call_timeout(steady))
+            with WD.DispatchWatchdog(budget, f"self-play segment {s}:{e}"):
+                carry, tr = seg_jit(net, carry, jnp.arange(s, e), keys[s:e])
+                trs.append(tr)
+                # host-level early exit the fused scan couldn't do: stop
+                # searching once every lane's game has ended
+                done = e < L and bool(all_done_jit(carry[0]))
+            warmed.add(e - s)
+            if done:
                 break
         tr = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *trs)
-        return fin_jit(carry, tr)
+        with WD.DispatchWatchdog(WD.first_call_timeout(steady),
+                                 "self-play trace finalize"):
+            out = fin_jit(carry, tr)
+            jax.block_until_ready(out.num_moves)
+        return out
 
     return run
 

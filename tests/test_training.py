@@ -179,3 +179,26 @@ def test_bn_imprinting_survives_sorted_padded_dataset():
     _, _, v_ref, _ = network.forward_normalized(ref, obs, mask)
     err = float(jnp.mean(jnp.abs(v_scan - v_ref)))
     assert err < 0.05, err
+
+
+def test_dispatch_watchdog():
+    """Watchdog fires its action on timeout and stays silent otherwise."""
+    import time
+
+    from alphazero_tpu.utils import watchdog as WD
+
+    fired = []
+    with WD.DispatchWatchdog(0.05, "t", action=lambda: fired.append(1)):
+        time.sleep(0.15)
+    assert fired == [1]
+    fired.clear()
+    with WD.DispatchWatchdog(5.0, "t", action=lambda: fired.append(1)):
+        pass
+    time.sleep(0.1)
+    assert fired == []
+    # None disables the timer entirely
+    with WD.DispatchWatchdog(None, "t", action=lambda: fired.append(1)):
+        pass
+    assert fired == []
+    assert WD.first_call_timeout(None) is None
+    assert WD.first_call_timeout(900.0) == 3600.0
