@@ -95,7 +95,9 @@ class MCTSConfig:
     # slab capacity, so this cuts their average cost to ~(stages+1)/(2*
     # stages) of the full-size loop at the price of `stages` compiled loop
     # bodies.  1 disables staging; small searches stay single-stage.
-    stages: int = 4
+    # 6 measured best with the dense update, whose slab add scales with
+    # the stage capacity (574/581/585 samples/s at 4/6/8 stages).
+    stages: int = 6
     # Optional descent-depth cap (mctx-style).  The per-sim update cost is
     # proportional to the static path-buffer length, which defaults to the
     # game-length bound (43 for connect-four) while real tree depths rarely
@@ -114,10 +116,13 @@ class MCTSConfig:
     # Backprop-update formulation: "scatter" = one flat scatter-add
     # (TPU scatters serialize at ~20 ns/slot inside the sim loop);
     # "dense" = one-hot batched matmul on the MXU producing the full dense
-    # update, plus one slab add (see scripts/profile_update.py for the
-    # measured comparison).  Semantically identical up to float summation
-    # order (tests/test_mcts.py::test_dense_update_matches_scatter).
-    update: str = "scatter"
+    # update, plus one slab add.  Semantically identical up to float
+    # summation order (tests/test_mcts.py::test_dense_update_matches_
+    # scatter).  Measured at flagship shapes (scripts/profile_update.py):
+    # scatter 2.55 ms/sim vs dense 0.65 — TPU scatters serialize per slot
+    # while the MXU eats the one-hot contraction; flagship bench 427 ->
+    # 585 samples/s.  Default dense.
+    update: str = "dense"
 
 
 class Tree(NamedTuple):

@@ -24,10 +24,14 @@ def main():
     num_lanes = int(os.environ.get("BENCH_LANES", "1024"))
     num_sims = int(os.environ.get("BENCH_SIMS", "600"))
     moves = int(os.environ.get("BENCH_MOVES", "8"))
-    # experiment knobs (defaults = production config)
-    update = os.environ.get("BENCH_UPDATE", "scatter")
-    max_depth = int(os.environ.get("BENCH_MAX_DEPTH", "0")) or None
-    stages = int(os.environ.get("BENCH_STAGES", "4"))
+    # experiment knobs (unset = the MCTSConfig production defaults)
+    knobs = {}
+    if "BENCH_UPDATE" in os.environ:
+        knobs["update"] = os.environ["BENCH_UPDATE"]
+    if int(os.environ.get("BENCH_MAX_DEPTH", "0")):
+        knobs["max_depth"] = int(os.environ["BENCH_MAX_DEPTH"])
+    if "BENCH_STAGES" in os.environ:
+        knobs["stages"] = int(os.environ["BENCH_STAGES"])
 
     from alphazero_tpu.envs import registry
     from alphazero_tpu.models import ResNetSpec
@@ -42,8 +46,7 @@ def main():
     network = Network(game, spec)
     net = network.init(jax.random.key(0))
     cfg = mcts.MCTSConfig(num_sims=num_sims, cpuct=2.0, dirichlet_eps=0.25,
-                          dirichlet_alpha=1.0, update=update,
-                          max_depth=max_depth, stages=stages)
+                          dirichlet_alpha=1.0, **knobs)
 
     def oracle(states, obs, mask):
         p, _, v, _ = network.forward_normalized(net, obs, mask)
