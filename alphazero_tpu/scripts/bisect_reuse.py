@@ -187,16 +187,36 @@ def cmd_duel(args):
                 jax.tree.map(lambda x: x[0], ctree.states))
             cur_key = jax.vmap(game.canonical_key)(states)
             cvalid = cvalid & jnp.all(stored_key == cur_key, axis=-1)
+            ap = ctree.prior_legal.shape[-1] // 2
+            pre_visits = jnp.where(
+                cvalid[:, None],
+                ctree.stats[0, :, ap:ap + game.num_actions], 0.0)
             rres = M.search(game, oracle, states, k1, rcfg,
                             carried=(ctree, cvalid))
             fres = M.search(game, oracle, states,
                             jax.random.fold_in(k1, 7), fcfg)
+            if args.policy == "fresh":
+                # final policy from THIS move's simulations only: carried
+                # visits guide the search but don't vote
+                fresh_v = jnp.maximum(
+                    rres.root_visits.astype(jnp.float32) - pre_visits, 0.0)
+                rpolicy = fresh_v / jnp.maximum(
+                    fresh_v.sum(-1, keepdims=True), 1.0)
+            else:
+                rpolicy = rres.policy
             tau = jnp.where(turn < 6, 1.0, 1e-3)
             pi = jnp.where(reuse_turn[:, None],
-                           core.apply_temperature(rres.policy, tau),
+                           core.apply_temperature(rpolicy, tau),
                            core.apply_temperature(fres.policy, tau))
             a = jax.vmap(core.sample_from)(pi, jax.random.split(k2, B))
             ctree, cvalid = M.advance_root(game, rres.tree, a, K)
+            if args.decay < 1.0:
+                # decay carried qsum/visits (keep child pointers): carried
+                # structure + priors persist, the stale vote shrinks
+                ap2 = ctree.prior_legal.shape[-1] // 2
+                st = ctree.stats
+                st = st.at[:, :, :2 * ap2].multiply(args.decay)
+                ctree = ctree._replace(stats=st)
             cvalid = cvalid & ~done
             s2 = jax.vmap(game.step)(states, a, jax.random.split(k3, B))
             s2 = jax.tree.map(
@@ -249,6 +269,9 @@ def main(argv=None):
     d.add_argument("--update", default="dense")
     d.add_argument("--stages", type=int, default=6)
     d.add_argument("--seed", type=int, default=11)
+    d.add_argument("--policy", default="total", choices=["total", "fresh"])
+    d.add_argument("--decay", type=float, default=1.0,
+                   help="multiplier on carried qsum/visits per move")
     d.set_defaults(fn=cmd_duel)
     args = ap.parse_args(argv)
     args.fn(args)

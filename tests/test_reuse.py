@@ -132,3 +132,56 @@ def test_reuse_not_weaker_head_to_head():
     r = np.concatenate([np.asarray(play_match(jax.random.key(0), True)),
                         np.asarray(play_match(jax.random.key(1), False))])
     assert r.mean() > -0.1, f"reuse player lost head-to-head: {r.mean()}"
+
+
+def test_warm_search_matches_recursive_reference():
+    """Cross-move reuse parity vs the path-tree PyMCTS test oracle.
+
+    Move 1: both implementations search S1 sims and play the visit argmax.
+    The played child's subtree (untruncated) warm-starts move 2's search;
+    visit counts and Q values must then match the recursive reference
+    exactly -- this validates the carried interior statistics end to end
+    (the advance_root structural tests alone don't exercise how a warm
+    tree steers a subsequent search).
+    """
+    import functools
+    from tests.mcts_ref import PyMCTS, PyTTT
+    from tests.test_mcts import (exact_oracle_jax, exact_oracle_py,
+                                 make_jax_roots, TTT)
+
+    S1, S2 = 96, 96
+    for gamma in (1.0, 0.9):
+        cfg = mcts.MCTSConfig(num_sims=S1, cpuct=1.0, gamma=gamma,
+                              dirichlet_eps=0.0)
+        games = [PyTTT(), PyTTT().step(4).step(0)]
+        roots = make_jax_roots(games)
+        B = len(games)
+        K = S1 + 1  # >= any subtree size: no truncation
+
+        res1 = jax.jit(functools.partial(
+            mcts.search, TTT, exact_oracle_jax, cfg=cfg))(
+                roots=roots, rng=jax.random.key(0))
+        a = jnp.argmax(res1.root_visits, -1).astype(jnp.int32)
+        car, valid = jax.jit(functools.partial(
+            mcts.advance_root, TTT, carry_cap=K))(
+                tree=res1.tree, actions=a)
+        assert np.asarray(valid).all()
+        s2 = jax.vmap(TTT.step)(roots, a, jax.random.split(jax.random.key(1), B))
+        res2 = jax.jit(functools.partial(
+            mcts.search, TTT, exact_oracle_jax, cfg=cfg))(
+                roots=s2, rng=jax.random.key(2), carried=(car, valid))
+
+        for i, g in enumerate(games):
+            ref = PyMCTS(g, exact_oracle_py, S1, cpuct=cfg.cpuct, gamma=gamma)
+            ref.run()
+            ai = int(np.argmax(ref.root.N))
+            assert ai == int(np.asarray(a)[i])
+            ref.root = ref.root.children[ai]   # reuse the played subtree
+            ref.num_sims = S2
+            ref.run()
+            np.testing.assert_array_equal(
+                np.asarray(res2.root_visits)[i], ref.root.N,
+                err_msg=f"warm visit counts diverge (root {i}, gamma {gamma})")
+            refq = ref.root.W / np.maximum(ref.root.N, 1)
+            np.testing.assert_allclose(np.asarray(res2.root_q)[i], refq,
+                                       atol=1e-5)
