@@ -49,7 +49,7 @@ class MctsParams:
     # cross-move subtree reuse during self-play (the array analogue of the
     # reference's per-game transposition-table persistence)
     reuse_tree: bool = False
-    reuse_cap: int = 256
+    reuse_cap: int = 64
     # optional descent-depth cap (mctx-style; None = exact reference
     # semantics, depth bounded by game length).  The per-simulation update
     # cost scales with this bound; see MCTSConfig.max_depth

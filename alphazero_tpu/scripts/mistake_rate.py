@@ -174,10 +174,27 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=600)
     ap.add_argument("--sims", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--positions", default=None,
+                    help="JSON cache of solver-labeled positions: generated "
+                         "and saved if missing (CPU-only), loaded otherwise")
+    ap.add_argument("--generate-only", action="store_true")
     args = ap.parse_args(argv)
 
-    print(f"generating + solving {args.n} positions...")
-    positions = generate_positions(args.n, seed=args.seed)
+    import os
+    if args.positions and os.path.exists(args.positions):
+        with open(args.positions) as f:
+            positions = [TestPosition(**d) for d in json.load(f)]
+        print(f"loaded {len(positions)} labeled positions "
+              f"from {args.positions}")
+    else:
+        print(f"generating + solving {args.n} positions...")
+        positions = generate_positions(args.n, seed=args.seed)
+        if args.positions:
+            with open(args.positions, "w") as f:
+                json.dump([dataclasses.asdict(p) for p in positions], f)
+            print(f"saved to {args.positions}")
+    if args.generate_only:
+        return
     game = game_registry()["connect-four"]
 
     from .. import arena as A

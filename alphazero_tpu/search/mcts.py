@@ -109,10 +109,14 @@ class MCTSConfig:
     # Cross-move subtree reuse (self-play): carry the played action's child
     # subtree (up to reuse_cap nodes) into the next move's search as its
     # warm root.  This mirrors the reference's per-game transposition table,
-    # which persists across moves (``src/mcts.jl:124-151``); visits carried
-    # over deepen the effective search at the same per-move budget.
+    # which persists across moves (``src/mcts.jl:124-151``).  Measured
+    # HARMFUL at large sim budgets: at 600 sims with a trained net the
+    # warm side loses to fresh trees monotonically in carried size
+    # (avgr -0.04/-0.43/-0.78 at cap 64/256/604, scripts/bisect_reuse.py)
+    # even though the mechanism provably matches reference persistence
+    # semantics (tests/test_reuse.py).  Keep off unless sims are small.
     reuse_tree: bool = False
-    reuse_cap: int = 256
+    reuse_cap: int = 64
     # Backprop-update formulation: "scatter" = one flat scatter-add
     # (TPU scatters serialize at ~20 ns/slot inside the sim loop);
     # "dense" = one-hot batched matmul on the MXU producing the full dense
