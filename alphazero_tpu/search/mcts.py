@@ -239,6 +239,7 @@ def init_tree(game: Game, cfg: MCTSConfig, roots, root_p, root_v,
 
 class _SelectState(NamedTuple):
     cur: jnp.ndarray            # i32 [B] current node during descent
+    cur_player: jnp.ndarray     # f32 [B] player to move at `cur`
     cur_terminal: jnp.ndarray   # bool [B] current node is terminal
     done: jnp.ndarray           # bool [B] descent finished
     expand_parent: jnp.ndarray  # i32 [B] parent of expansion edge (-1: none)
@@ -246,6 +247,8 @@ class _SelectState(NamedTuple):
     depth: jnp.ndarray          # i32 [B] edges recorded so far
     path_nodes: jnp.ndarray     # i32 [B, D]
     path_actions: jnp.ndarray   # i32 [B, D]
+    path_r: jnp.ndarray         # f32 [B, D] per-edge reward (parent POV)
+    path_f: jnp.ndarray         # f32 [B, D] per-edge sign factor (1 off-path)
     d: jnp.ndarray              # i32 [] loop counter
 
 
@@ -258,12 +261,20 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
     Hooks for non-PUCT variants (search/gumbel.py): ``root_action [B]``
     forces the action taken at the root; ``nonroot_scores(p, legal, qsum,
     nvis, value) -> [B, A]`` replaces the PUCT score at interior nodes.
+
+    Per-edge backprop inputs (reward from the parent's POV and the
+    player-switch sign factor, ``src/mcts.jl:214-221``) are recorded
+    *during* the descent from the child meta row that the walk gathers
+    anyway — the expansion edge, whose child does not exist yet, is filled
+    in by the caller after :func:`expand`.  This saves two whole-path meta
+    gathers per simulation versus recomputing them post-hoc.
     """
     N, B = tree.meta.shape[:2]
     A = num_actions
     ap = tree.prior_legal.shape[-1] // 2
     init = _SelectState(
         cur=jnp.zeros((B,), jnp.int32),
+        cur_player=tree.meta[0, :, _PLAYER],
         cur_terminal=tree.meta[0, :, _TERMINAL] > 0.5,
         done=tree.meta[0, :, _TERMINAL] > 0.5,
         expand_parent=jnp.full((B,), -1, jnp.int32),
@@ -271,6 +282,8 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
         depth=jnp.zeros((B,), jnp.int32),
         path_nodes=jnp.zeros((B, max_depth), jnp.int32),
         path_actions=jnp.zeros((B, max_depth), jnp.int32),
+        path_r=jnp.zeros((B, max_depth), jnp.float32),
+        path_f=jnp.ones((B, max_depth), jnp.float32),
         d=jnp.zeros((), jnp.int32),
     )
 
@@ -320,13 +333,24 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
         expand_action = jnp.where(needs_expand, action, s.expand_action)
         child_meta = _slab_gather(tree.meta, jnp.maximum(child, 0))
         child_terminal = child_meta[:, _TERMINAL] > 0.5
+        # per-edge backprop inputs; the expansion edge (child not yet in the
+        # tree) keeps the neutral (0, 1) placeholder, fixed up post-expand
+        edge_known = active & ~needs_expand
+        r_white = child_meta[:, _REWARD]
+        r = jnp.where(s.cur_player == envcore.WHITE, r_white, -r_white)
+        f = jnp.where(s.cur_player == child_meta[:, _PLAYER], 1.0, -1.0)
+        path_r = jax.lax.dynamic_update_slice(
+            s.path_r, jnp.where(edge_known, r, 0.0)[:, None], (0, s.d))
+        path_f = jax.lax.dynamic_update_slice(
+            s.path_f, jnp.where(edge_known, f, 1.0)[:, None], (0, s.d))
         done = s.done | needs_expand | (active & child_terminal)
-        cur = jnp.where(active & ~needs_expand, child, s.cur)
-        cur_terminal = jnp.where(active & ~needs_expand, child_terminal,
-                                 s.cur_terminal)
-        return _SelectState(cur, cur_terminal, done, expand_parent,
-                            expand_action, depth, path_nodes, path_actions,
-                            s.d + 1)
+        cur = jnp.where(edge_known, child, s.cur)
+        cur_player = jnp.where(edge_known, child_meta[:, _PLAYER],
+                               s.cur_player)
+        cur_terminal = jnp.where(edge_known, child_terminal, s.cur_terminal)
+        return _SelectState(cur, cur_player, cur_terminal, done,
+                            expand_parent, expand_action, depth, path_nodes,
+                            path_actions, path_r, path_f, s.d + 1)
 
     return jax.lax.while_loop(cond, body, init)
 
@@ -351,35 +375,25 @@ def _q_chain(r, f, depth, leaf_value, gamma: float, D: int):
     return jnp.where(on_path, s_vals / h, 0.0), on_path
 
 
-def _edge_updates(tree: Tree, sel: _SelectState, leaf_node, leaf_value,
-                  cfg: MCTSConfig, max_depth: int, num_actions: int):
-    """Per-edge rewards/signs via meta gathers (XLA path), then ``_q_chain``.
+def _edge_updates(sel: _SelectState, exp_r, exp_f, leaf_value,
+                  cfg: MCTSConfig, max_depth: int):
+    """``_q_chain`` over the per-edge rewards/signs recorded by the descent.
+
+    ``exp_r``/``exp_f`` [B] are the expansion edge's reward/sign (computed
+    by :func:`expand` from the freshly created child), spliced into the
+    final path slot of expanding lanes (``exp_f`` must be 1 elsewhere, and
+    ``exp_r`` 0, so the splice is a no-op on non-expanding lanes).
 
     Returns ``(q_edges [B, D], on_path [B, D], nodes, actions)``.
     """
-    N, B = tree.meta.shape[:2]
     D = max_depth
-    brange = jnp.arange(B)
     didx = jnp.arange(D)[None, :]
-    depth = sel.depth[:, None]
-    on_path = didx < depth
+    at_last = didx == (sel.depth - 1)[:, None]
+    r = jnp.where(at_last, sel.path_r + exp_r[:, None], sel.path_r)
+    f = jnp.where(at_last, sel.path_f * exp_f[:, None], sel.path_f)
+    q_edges, on_path = _q_chain(r, f, sel.depth, leaf_value, cfg.gamma, D)
     nodes = jnp.where(on_path, sel.path_nodes, 0)
     actions = jnp.where(on_path, sel.path_actions, 0)
-    shifted = jnp.concatenate(
-        [sel.path_nodes[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
-    childs = jnp.where(didx == depth - 1, leaf_node[:, None], shifted)
-    childs = jnp.where(on_path, childs, 0)
-
-    def meta_take(idx):  # [B, D] node indices -> [B, D, META_W]
-        return jax.vmap(lambda irow, b: tree.meta[irow, b])(idx, brange)
-
-    m_parent = meta_take(nodes)
-    m_child = meta_take(childs)
-    r_white = m_child[..., _REWARD]
-    r = jnp.where(m_parent[..., _PLAYER] == envcore.WHITE, r_white, -r_white)
-    r = jnp.where(on_path, r, 0.0)
-    f = jnp.where(m_parent[..., _PLAYER] == m_child[..., _PLAYER], 1.0, -1.0)
-    q_edges, on_path = _q_chain(r, f, sel.depth, leaf_value, cfg.gamma, D)
     return q_edges, on_path, nodes, actions
 
 
@@ -598,7 +612,21 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         # leaf value: oracle value at the new node (0 if terminal,
         # ``src/mcts.jl:200-201,205-207``); terminal descents use 0.
         leaf_value = jnp.where(expanding & ~child_terminal, child_v, 0.0)
-        return tree, child_states, leaf_value.astype(jnp.float32), parent_idx
+        # expansion-edge reward/sign (the descent could not record them:
+        # the child did not exist yet); neutral on non-expanding lanes
+        parent_player = jax.vmap(game.to_play)(
+            parent_states).astype(jnp.float32)
+        child_player = jax.vmap(game.to_play)(
+            child_states).astype(jnp.float32)
+        r_white = jax.vmap(game.reward)(child_states)
+        exp_r = jnp.where(
+            expanding,
+            jnp.where(parent_player == envcore.WHITE, r_white, -r_white), 0.0)
+        exp_f = jnp.where(
+            expanding,
+            jnp.where(parent_player == child_player, 1.0, -1.0), 1.0)
+        return (tree, child_states, leaf_value.astype(jnp.float32),
+                parent_idx, exp_r, exp_f)
 
     depth_capped = max_depth < game.max_game_length + 1
 
@@ -697,13 +725,12 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             ra = None if root_action_fn is None else root_action_fn(tree, i)
             sel = _select(tree, eta, cfg, max_depth, A, ra, nonroot_scores)
             expanding = sel.expand_parent >= 0
-            tree, child_states, leaf_value, parent_idx = expand(
+            tree, child_states, leaf_value, parent_idx, exp_r, exp_f = expand(
                 tree, i, sel.expand_parent, sel.expand_action)
             slot = K_base + i - 1
-            leaf_node = jnp.where(expanding, slot, sel.cur).astype(jnp.int32)
             leaf_value = cap_leaf_value(tree, sel, leaf_value)
             q_edges, on_path, nodes, actions = _edge_updates(
-                tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
+                sel, exp_r, exp_f, leaf_value, cfg, max_depth)
             stats = apply_update(
                 tree.stats, nodes, actions, on_path, q_edges, expanding,
                 parent_idx, sel.expand_action,
@@ -721,13 +748,12 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             tree, traversed = carry
             sel = _select(tree, eta, cfg, max_depth, A)
             expanding = sel.expand_parent >= 0
-            tree, child_states, leaf_value, parent_idx = expand(
+            tree, child_states, leaf_value, parent_idx, exp_r, exp_f = expand(
                 tree, i, sel.expand_parent, sel.expand_action)
             slot = K_base + i - 1
-            leaf_node = jnp.where(expanding, slot, sel.cur).astype(jnp.int32)
             leaf_value = cap_leaf_value(tree, sel, leaf_value)
             q_edges, on_path, nodes, actions = _edge_updates(
-                tree, sel, leaf_node, leaf_value, cfg, max_depth, A)
+                sel, exp_r, exp_f, leaf_value, cfg, max_depth)
             stats = PU.pallas_update(
                 tree.stats, nodes, actions, sel.depth,
                 jnp.where(on_path, q_edges, 0.0),
