@@ -95,9 +95,10 @@ class MCTSConfig:
     # slab capacity, so this cuts their average cost to ~(stages+1)/(2*
     # stages) of the full-size loop at the price of `stages` compiled loop
     # bodies.  1 disables staging; small searches stay single-stage.
-    # 6 measured best with the dense update, whose slab add scales with
-    # the stage capacity (574/581/585 samples/s at 4/6/8 stages).
-    stages: int = 6
+    # Flagship-bench history: 6 was best before the in-descent reward
+    # recording (574/581/585 samples/s at 4/6/8 stages); afterwards the
+    # per-stage fixed cost shrank and 8 wins (715 -> 734 samples/s).
+    stages: int = 8
     # Optional descent-depth cap (mctx-style).  The per-sim update cost is
     # proportional to the static path-buffer length, which defaults to the
     # game-length bound (43 for connect-four) while real tree depths rarely

@@ -10,6 +10,7 @@
 """
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -267,3 +268,94 @@ def test_dense_update_matches_scatter():
     np.testing.assert_allclose(np.asarray(outs[0].policy),
                                np.asarray(outs[1].policy),
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Intermediate-reward parity: a deterministic 1-player line MDP where most
+# rewards arrive on NON-terminal transitions (unlike the board games, whose
+# rewards are terminal-only).  This specifically exercises the per-edge
+# reward recording during the descent and the expansion-edge splice.
+# ---------------------------------------------------------------------------
+
+
+class _LineState(NamedTuple):
+    pos: jnp.ndarray     # i32, 0..6
+    last_r: jnp.ndarray  # f32 reward of the last transition (white POV)
+    t: jnp.ndarray       # i32 moves played
+
+
+def _line_game():
+    MAXT = 12
+
+    def init():
+        return _LineState(jnp.asarray(3, jnp.int32), jnp.asarray(0.0),
+                          jnp.asarray(0, jnp.int32))
+
+    def step(s, a, key):
+        del key
+        pos = s.pos + jnp.where(a == 1, 1, -1).astype(jnp.int32)
+        r = jnp.where(a == 1,
+                      jnp.where(pos == 6, 1.0, 0.3),
+                      jnp.where(pos == 0, -1.0, -0.1)).astype(jnp.float32)
+        return _LineState(pos, r, s.t + 1)
+
+    return core.Game(
+        name="line", num_actions=2, obs_shape=(7,), two_players=False,
+        max_game_length=MAXT, key_size=1, num_symmetries=1,
+        init=init, step=step,
+        observe=lambda s: jax.nn.one_hot(s.pos, 7, dtype=jnp.float32),
+        legal_mask=lambda s: jnp.ones((2,), bool),
+        terminated=lambda s: (s.pos == 0) | (s.pos == 6) | (s.t >= MAXT),
+        reward=lambda s: s.last_r,
+        to_play=lambda s: jnp.asarray(0, jnp.int32),
+        canonical_key=lambda s: (s.pos * 16 + s.t)[None].astype(jnp.int32),
+    )
+
+
+class _PyLine:
+    A = 2
+    player = 0
+
+    def __init__(self, pos=3, rew=0.0, t=0):
+        self.pos, self.rew, self.t = pos, np.float32(rew), t
+
+    def terminal(self):
+        return self.pos in (0, 6) or self.t >= 12
+
+    def legal(self):
+        return np.ones(2, bool)
+
+    def step(self, a):
+        pos = self.pos + (1 if a == 1 else -1)
+        if a == 1:
+            r = 1.0 if pos == 6 else 0.3
+        else:
+            r = -1.0 if pos == 0 else -0.1
+        return _PyLine(pos, r, self.t + 1)
+
+
+@pytest.mark.parametrize("gamma", [1.0, 0.9])
+def test_parity_intermediate_rewards(gamma):
+    game = _line_game()
+
+    def oracle_jax(states, obs, mask):
+        p = jnp.full(mask.shape, 0.5, jnp.float32)
+        v = (states.pos.astype(jnp.float32) - 3.0) / 6.0
+        return p, v
+
+    def oracle_py(g):
+        return np.full(2, 0.5, np.float32), np.float32((g.pos - 3.0) / 6.0)
+
+    cfg = mcts.MCTSConfig(num_sims=80, cpuct=1.25, gamma=gamma,
+                          dirichlet_eps=0.0)
+    roots = jax.tree.map(lambda x: x[None], game.init())
+    res = jax.jit(
+        lambda r, k: mcts.search(game, oracle_jax, r, k, cfg)
+    )(roots, jax.random.key(0))
+
+    ref = PyMCTS(_PyLine(), oracle_py, cfg.num_sims, cpuct=cfg.cpuct,
+                 gamma=gamma)
+    ref.run()
+    np.testing.assert_array_equal(np.asarray(res.root_visits)[0], ref.root.N)
+    refq = ref.root.W / np.maximum(ref.root.N, 1)
+    np.testing.assert_allclose(np.asarray(res.root_q)[0], refq, atol=1e-5)
