@@ -240,16 +240,22 @@ class DuelResult(NamedTuple):
 
 
 @functools.lru_cache(maxsize=128)
-def _duel_program(game: Game, netspec: Optional[NetworkSpec],
+def _duel_program(game: Game, netspec_a: Optional[NetworkSpec],
+                  netspec_b: Optional[NetworkSpec],
                   spec_a: PlayerSpec, spec_b: Optional[PlayerSpec],
                   num_lanes: int, alternate_colors: bool,
-                  flip_probability: float, gamma: float):
+                  flip_probability: float, gamma: float, mesh=None):
     """Compile a program playing ``num_lanes`` games of spec_a vs spec_b.
 
     For one-player games (or ``spec_b is None``) player A makes every move.
+    The two sides may use *different* network specs — the TPU answer to the
+    reference's two-network inference server (``src/simulations.jl:70-99``):
+    both think functions are evaluated each turn and the mover's policy is
+    selected per lane, so cross-architecture duels need no extra machinery.
+    With ``mesh``, lanes shard over the ``data`` axis (see selfplay.py).
     """
-    think_a, _ = spec_a.make_think(game, netspec)
-    think_b, _ = (spec_b.make_think(game, netspec) if spec_b is not None
+    think_a, _ = spec_a.make_think(game, netspec_a)
+    think_b, _ = (spec_b.make_think(game, netspec_b) if spec_b is not None
                   else (None, False))
     B = num_lanes
     L = game.max_game_length
@@ -266,6 +272,9 @@ def _duel_program(game: Game, netspec: Optional[NetworkSpec],
         def move(carry, inp):
             s, disc, total = carry
             turn, key = inp
+            if mesh is not None:
+                from .parallel import shard_axis
+                s = shard_axis(mesh, s, 0)
             k_flip, k_sym, k_a, k_b, k_act, k_step = jax.random.split(
                 key, 6)
             done = jax.vmap(game.terminated)(s)
@@ -327,7 +336,8 @@ def _redundancy(keys, valid):
 
 
 def run_benchmark_item(game: Game, netspec: Optional[NetworkSpec],
-                       net: NetState, item, rng, gamma: float = 1.0):
+                       net: NetState, item, rng, gamma: float = 1.0,
+                       mesh=None):
     """Run one benchmark evaluation (``Benchmark.run``,
     ``src/benchmark.jl:78-99``).  Returns a ``Report.Evaluation``."""
     import time as _time
@@ -336,11 +346,11 @@ def run_benchmark_item(game: Game, netspec: Optional[NetworkSpec],
     t0 = _time.perf_counter()
     if isinstance(item, Single):
         res = play_duel(game, netspec, item.player, None, item.sim,
-                        net, net, rng, gamma=gamma)
+                        net, net, rng, gamma=gamma, mesh=mesh)
         legend = player_name(item.player)
     else:
         res = play_duel(game, netspec, item.player, item.baseline, item.sim,
-                        net, net, rng, gamma=gamma)
+                        net, net, rng, gamma=gamma, mesh=mesh)
         legend = f"{player_name(item.player)} vs {player_name(item.baseline)}"
     rewards = np.asarray(res.rewards)
     return R.Evaluation(
@@ -358,11 +368,26 @@ def ternary_stats(rewards) -> Tuple[int, int, int]:
 
 def play_duel(game: Game, netspec: Optional[NetworkSpec], spec_a: PlayerSpec,
               spec_b: Optional[PlayerSpec], sim: cfgmod.SimParams,
-              net_a, net_b, rng, gamma: float = 1.0) -> DuelResult:
-    """Play ``sim.num_games`` games (rounded up to lane multiples), A vs B."""
+              net_a, net_b, rng, gamma: float = 1.0,
+              netspec_b: Optional[NetworkSpec] = None,
+              mesh=None) -> DuelResult:
+    """Play ``sim.num_games`` games (rounded up to lane multiples), A vs B.
+
+    ``netspec_b`` lets player B run a *different architecture* than A
+    (defaults to ``netspec``): pass ``(netspec, net_a)`` for A and
+    ``(netspec_b, net_b)`` for B — the capability the reference implements
+    with its two-network inference server (``src/simulations.jl:70-99``).
+    """
     from .utils import watchdog as WD
-    prog = _duel_program(game, netspec, spec_a, spec_b, sim.num_lanes,
-                         sim.alternate_colors, sim.flip_probability, gamma)
+    if netspec_b is None:
+        netspec_b = netspec
+    if mesh is not None:
+        from .parallel import put_replicated
+        net_a = put_replicated(mesh, net_a)
+        net_b = put_replicated(mesh, net_b)
+    prog = _duel_program(game, netspec, netspec_b, spec_a, spec_b,
+                         sim.num_lanes, sim.alternate_colors,
+                         sim.flip_probability, gamma, mesh)
     steady = WD.dispatch_timeout()
     outs = []
     for r in range(sim.num_rounds):

@@ -67,8 +67,20 @@ def _batch_from(game: Game, ds: memmod.Dataset, w, idx):
 
 @functools.lru_cache(maxsize=128)
 def _programs(game: Game, spec: NetworkSpec, lp: cfgmod.LearningParams,
-              nsteps: int):
-    """Build & cache the jitted update / status programs."""
+              nsteps: int, mesh=None):
+    """Build & cache the jitted update / status programs.
+
+    With ``mesh``, every minibatch forward/backward is data-parallel over
+    the mesh's ``data`` axis (params replicated, batch sharded, gradient
+    reduction an XLA ``psum`` inserted by GSPMD) — the learner data
+    parallelism the reference lacks outright (``src/params.jl:96,241``:
+    a single ``use_gpu`` flag).
+    """
+    if mesh is not None:
+        from .parallel import shard_axis
+        constrain_batch = lambda b: shard_axis(mesh, b, 0)
+    else:
+        constrain_batch = lambda b: b
     network = Network(game, spec)
     hp = L.LossHP(
         l2_regularization=lp.l2_regularization,
@@ -95,7 +107,7 @@ def _programs(game: Game, spec: NetworkSpec, lp: cfgmod.LearningParams,
             params, stats, opt_state = carry
             idx = jax.random.randint(key, (lp.batch_size,), 0,
                                      jnp.maximum(ds.count, 1))
-            batch = _batch_from(game, ds, w, idx)
+            batch = constrain_batch(_batch_from(game, ds, w, idx))
             (lval, (_, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, stats, batch, Wmean, Hp)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -143,7 +155,7 @@ def _programs(game: Game, spec: NetworkSpec, lp: cfgmod.LearningParams,
             offs = base + jnp.arange(bs)
             idx = perm[offs % count]
             in_range = offs < count
-            batch = _batch_from(game, ds, w, idx)
+            batch = constrain_batch(_batch_from(game, ds, w, idx))
             batch["W"] = jnp.where(in_range, batch["W"], 0.0)
             net = NetState(ts_params, stats)
             phat, pinv, vhat, new_stats = network.forward_normalized(
@@ -210,13 +222,19 @@ class Trainer:
 
     def __init__(self, game: Game, spec: NetworkSpec, net: NetState,
                  replay: memmod.Replay, lp: cfgmod.LearningParams,
-                 use_symmetries: bool, rng):
+                 use_symmetries: bool, rng, mesh=None):
         self.game, self.spec, self.lp = game, spec, lp
+        self.mesh = mesh
         self.dataset = _dataset_builder(
             game, use_symmetries, lp.use_position_averaging)(replay)
         self.weights = memmod.sample_weights(
             self.dataset, lp.samples_weighing_policy)
-        progs = _programs(game, spec, lp, 1)
+        if mesh is not None:
+            from .parallel import put_data_sharded, put_replicated
+            self.dataset = put_data_sharded(mesh, self.dataset, 0)
+            self.weights = put_data_sharded(mesh, self.weights, 0)
+            net = put_replicated(mesh, net)
+        progs = _programs(game, spec, lp, 1, mesh)
         self.Wmean, self.Hp = progs["dataset_stats"](
             self.dataset, self.weights)
         self.state = TrainerState(net=net, rng=rng)
@@ -242,13 +260,13 @@ class Trainer:
         return max(n, 1)
 
     def batch_updates(self, nsteps: int) -> np.ndarray:
-        progs = _programs(self.game, self.spec, self.lp, nsteps)
+        progs = _programs(self.game, self.spec, self.lp, nsteps, self.mesh)
         self.state, lvals = progs["batch_updates"](
             self.state, self.dataset, self.weights, self.Wmean, self.Hp)
         return np.asarray(lvals)
 
     def learning_status(self) -> R.LearningStatus:
-        progs = _programs(self.game, self.spec, self.lp, 1)
+        progs = _programs(self.game, self.spec, self.lp, 1, self.mesh)
         rng, sub = jax.random.split(self.state.rng)
         vals, net = progs["learning_status"](
             self.state.net, self.dataset, self.weights, self.Wmean, self.Hp,

@@ -238,8 +238,17 @@ def sample_weights(ds: Dataset, policy: str) -> jnp.ndarray:
     return jnp.where(ds.n_merged > 0, w, 0.0)
 
 
+@functools.lru_cache(maxsize=32)
+def _distinct_program(game: Game):
+    # jitted (not eager): on a mesh-sharded replay the sort/segment chain
+    # must compile into ONE program — op-by-op execution would issue a
+    # cross-module collective per primitive, which deadlocks the CPU
+    # backend's rendezvous pool at 8 virtual devices
+    return jax.jit(lambda replay: make_dataset(
+        game, replay, use_symmetries=False,
+        use_position_averaging=True).count)
+
+
 def num_distinct_boards(game: Game, replay: Replay) -> jnp.ndarray:
     """|unique states| in memory (``src/training.jl:261-266``)."""
-    ds = make_dataset(game, replay, use_symmetries=False,
-                      use_position_averaging=True)
-    return ds.count
+    return _distinct_program(game)(replay)

@@ -64,6 +64,59 @@ def shard_lanes(mesh: Mesh, tree):
         tree)
 
 
+def data_size(mesh: Optional[Mesh]) -> int:
+    """Size of the ``data`` axis (1 when no mesh is in use)."""
+    return 1 if mesh is None else mesh.shape["data"]
+
+
+def shard_axis(mesh: Optional[Mesh], tree, axis: int):
+    """Constrain pytree leaves onto the ``data`` axis along ``axis``.
+
+    A leaf whose ``axis`` dimension is not divisible by the data-axis size
+    (or too small to shard) is left replicated — partial annotation is always
+    sound under GSPMD, it just forgoes the partitioning for that leaf.
+    No-op when ``mesh is None`` so callers can thread an optional mesh
+    through unconditionally.
+    """
+    if mesh is None:
+        return tree
+    n = mesh.shape["data"]
+
+    def one(x):
+        if x.ndim <= axis or x.shape[axis] % n != 0 or x.shape[axis] == 0:
+            return x
+        spec = [None] * x.ndim
+        spec[axis] = "data"
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(one, tree)
+
+
+def put_replicated(mesh: Optional[Mesh], tree):
+    """Commit a pytree to the mesh, fully replicated (no-op without a mesh)."""
+    if mesh is None:
+        return tree
+    return jax.device_put(tree, replicated(mesh))
+
+
+def put_data_sharded(mesh: Optional[Mesh], tree, axis: int = 0):
+    """Commit a pytree to the mesh, sharded along ``axis`` over ``data``
+    (leaves that cannot shard evenly are replicated)."""
+    if mesh is None:
+        return tree
+    n = mesh.shape["data"]
+
+    def one(x):
+        if x.ndim <= axis or x.shape[axis] % n != 0:
+            return jax.device_put(x, replicated(mesh))
+        spec = [None] * x.ndim
+        spec[axis] = "data"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(one, tree)
+
+
 @functools.lru_cache(maxsize=16)
 def sharded_train_iteration(game: Game, netspec: NetworkSpec,
                             sp_mcts: cfgmod.MctsParams,

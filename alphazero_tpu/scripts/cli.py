@@ -41,6 +41,16 @@ def _build_parser():
                             help="shrink all parameters to minimum")
             sp.add_argument("--seed", type=int, default=0)
             sp.add_argument("--save-intermediate", action="store_true")
+        if name in ("train", "dummy-run"):
+            sp.add_argument(
+                "--mesh", type=int, default=0, metavar="N",
+                help="run SPMD over an N-device mesh (0 = single device; "
+                     "-1 = all visible devices)")
+            sp.add_argument(
+                "--distributed", default=None, metavar="SPEC",
+                help="join a multi-host runtime first: 'auto' (TPU pods) or "
+                     "'coordinator_host:port,num_processes,process_id'; "
+                     "run the same command on every host")
     return p
 
 
@@ -49,6 +59,17 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    mesh = None
+    if getattr(args, "distributed", None) is not None:
+        from ..parallel import distributed as dist
+        dist.initialize(**dist.parse_spec(args.distributed))
+        if not getattr(args, "mesh", 0):
+            args.mesh = -1  # multi-host implies a global mesh
+    if getattr(args, "mesh", 0):
+        from ..parallel import make_mesh
+        n = args.mesh if args.mesh > 0 else len(jax.devices())
+        mesh = make_mesh(n)
 
     if args.cmd == "bench":
         import bench
@@ -78,7 +99,8 @@ def main(argv=None):
         session = Session(exp, dir=args.dir,
                           seed=getattr(args, "seed", 0),
                           save_intermediate=getattr(
-                              args, "save_intermediate", False))
+                              args, "save_intermediate", False),
+                          mesh=mesh)
         session.resume()
     elif args.cmd == "replot":
         from ..session.plots import plot_benchmark, plot_training

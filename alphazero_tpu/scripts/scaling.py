@@ -16,6 +16,16 @@ the same script measures the real thing.
 Usage:
     python -m alphazero_tpu.scripts.scaling [--lanes-per-device 256]
         [--sims 64] [--platform cpu|tpu] [--devices 8] [--net]
+        [--production] [--fixed-work]
+
+``--production`` measures the SESSION's own self-play phase
+(``training.self_play_step``: segmented dispatches + sharded replay push)
+instead of the raw fused batch — the number that matters for training.
+``--fixed-work`` holds the TOTAL lane count constant while growing the mesh
+(strong-scaling/partition-overhead view): on a virtual CPU mesh, where every
+"device" shares the same physical cores, weak-scaling throughput cannot
+exceed the core count, so the honest SPMD-structure metric is that the
+partitioned program costs no more than the unpartitioned one.
 """
 
 from __future__ import annotations
@@ -35,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--net", action="store_true",
                     help="use a randomly initialized flagship ResNet oracle "
                          "instead of the uniform-prior oracle")
+    ap.add_argument("--production", action="store_true",
+                    help="measure training.self_play_step (the real "
+                         "session phase) instead of the raw fused batch")
+    ap.add_argument("--fixed-work", action="store_true",
+                    help="hold total lanes constant across mesh sizes")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args(argv)
 
@@ -76,10 +91,14 @@ def main(argv=None):
     else:
         net = None
 
+    if args.production:
+        return _production(args, sizes)
+
     results = {}
     for n in sizes:
         mesh = parallel.make_mesh(n)
-        B = args.lanes_per_device * n
+        B = (args.lanes_per_device * sizes[-1] if args.fixed_work
+             else args.lanes_per_device * n)
 
         def oracle(states, obs, mask):
             obs = parallel.shard_lanes(mesh, obs)
@@ -109,11 +128,67 @@ def main(argv=None):
             moves, sims = int(m), int(s)
         sps = moves / best
         results[n] = sps
-        eff = sps / (results[sizes[0]] * n / sizes[0])
+        if args.fixed_work:
+            eff = sps / results[sizes[0]]
+            label = "fixed-work eff (t1/tN)"
+        else:
+            eff = sps / (results[sizes[0]] * n / sizes[0])
+            label = "weak-scaling eff"
         print(f"devices={n:3d} lanes={B:6d}: {sps:10.1f} samples/s "
-              f"({sims / best:12.1f} sims/s)  weak-scaling eff "
+              f"({sims / best:12.1f} sims/s)  {label} "
               f"{100 * eff:5.1f}%")
 
+    return results
+
+
+def _production(args, sizes):
+    """Scale the SESSION self-play phase: ``training.self_play_step`` with
+    a mesh-sharded ``AZEnv`` — segmented dispatches, watchdog, sharded
+    replay push, exactly the path ``cli train --mesh`` runs."""
+    import dataclasses
+
+    import jax
+
+    from .. import experiments, parallel, training
+
+    exp = experiments.registry()["connect-four"]
+    base = exp.params
+
+    results = {}
+    for n in sizes:
+        mesh = parallel.make_mesh(n) if n > 1 else None
+        B = (args.lanes_per_device * sizes[-1] if args.fixed_work
+             else args.lanes_per_device * n)
+        sp = dataclasses.replace(
+            base.self_play,
+            mcts=base.self_play.mcts.replace(
+                num_iters_per_turn=args.sims),
+            sim=base.self_play.sim.replace(num_games=B, num_lanes=B))
+        netspec = exp.netspec if args.net else exp.netspec.__class__(
+            num_filters=16, num_blocks=1)
+        params = dataclasses.replace(
+            base, self_play=sp, arena=None,
+            mem_buffer_size=base.mem_buffer_size)
+        env = training.AZEnv.create(exp.game, netspec, params, seed=0,
+                                    mesh=mesh)
+        handlers = training.Handlers()
+        training.self_play_step(env, handlers)  # warm-up + compile
+        best = None
+        for r in range(args.reps):
+            t0 = time.perf_counter()
+            rep = training.self_play_step(env, handlers)
+            dt = time.perf_counter() - t0
+            sps = rep.samples_gen_speed
+            best = max(best or 0.0, sps)
+        results[n] = best
+        if args.fixed_work:
+            eff = best / results[sizes[0]]
+            label = "fixed-work eff (t1/tN)"
+        else:
+            eff = best / (results[sizes[0]] * n / sizes[0])
+            label = "weak-scaling eff"
+        print(f"devices={n:3d} lanes={B:6d}: {best:10.1f} samples/s "
+              f"(production self_play_step)  {label} {100 * eff:5.1f}%")
     return results
 
 

@@ -42,8 +42,16 @@ class TraceBatch(NamedTuple):
 
 
 def _make_move_fn(game: Game, oracle: mcts.Oracle, cfg, temperature,
-                  num_lanes: int, flip_probability: float):
-    """The per-move scan body shared by the fused and segmented drivers."""
+                  num_lanes: int, flip_probability: float, mesh=None):
+    """The per-move scan body shared by the fused and segmented drivers.
+
+    ``mesh`` (optional) shards the lane axis over the mesh's ``data`` axis:
+    the state batch is constrained at every move entry so GSPMD partitions
+    the whole per-move MCTS (tree slabs are node-major ``[N, B, ...]``;
+    their lane axis inherits the sharding by propagation).  Lanes never
+    interact, so the program is embarrassingly data-parallel and XLA only
+    inserts collectives for the scalar depth/sim statistics.
+    """
     B = num_lanes
     use_gumbel = isinstance(cfg, gumbel.GumbelConfig)
     reuse = (not use_gumbel) and getattr(cfg, "reuse_tree", False)
@@ -51,6 +59,10 @@ def _make_move_fn(game: Game, oracle: mcts.Oracle, cfg, temperature,
     def move(carry, inp):
         s, ctree, cvalid, traversed, sims = carry
         turn, key = inp
+        if mesh is not None:
+            from .parallel import shard_axis
+            s = shard_axis(mesh, s, 0)
+            ctree = shard_axis(mesh, ctree, 1)
         k_flip, k_sym, k_search, k_act, k_step = jax.random.split(key, 5)
         done = jax.vmap(game.terminated)(s)
         if flip_probability > 0 and game.random_symmetry is not None:
@@ -120,7 +132,13 @@ def _init_carry(game: Game, cfg, num_lanes: int, reuse: bool, init_key):
 def _finalize_traces(game: Game, gamma: float, num_lanes: int, carry, tr
                      ) -> TraceBatch:
     """Trace -> training samples: discounted returns walked backwards with
-    per-player sign flips and remaining-move counts (``src/memory.jl:74-87``)."""
+    per-player sign flips and remaining-move counts (``src/memory.jl:74-87``).
+
+    Samples flatten LANE-major (``[L, B] -> [B*L]``, one game's trace
+    contiguous — the order the reference pushes traces in): the lane axis
+    stays the major axis of every flat array, so under a mesh the samples
+    remain sharded over ``data`` instead of being all-gathered on output.
+    """
     B = num_lanes
     L = tr["r"].shape[0]
     _, _, _, traversed, sims = carry
@@ -134,17 +152,20 @@ def _finalize_traces(game: Game, gamma: float, num_lanes: int, carry, tr
     num_moves = jnp.sum(tr["valid"].astype(jnp.int32), axis=0)  # [B]
     t_remaining = (num_moves[None, :].astype(jnp.float32)
                    - jnp.arange(L)[:, None].astype(jnp.float32))
-    flat_states = jax.tree.map(
-        lambda x: x.reshape((L * B,) + x.shape[2:]), tr["states"])
+
+    def flat(x):  # [L, B, ...] -> [B*L, ...], lane-major
+        return jnp.moveaxis(x, 0, 1).reshape((B * L,) + x.shape[2:])
+
+    flat_states = jax.tree.map(flat, tr["states"])
     keys_flat = jax.vmap(game.canonical_key)(flat_states)
     total_white = jnp.sum(tr["r"], axis=0)
     return TraceBatch(
         states=flat_states,
-        pi=tr["pi"].reshape(L * B, -1),
-        z=z.reshape(L * B),
-        t=t_remaining.reshape(L * B),
+        pi=flat(tr["pi"]),
+        z=flat(z),
+        t=flat(t_remaining),
         key=keys_flat,
-        valid=tr["valid"].reshape(L * B),
+        valid=flat(tr["valid"]),
         white_reward=total_white,
         num_moves=num_moves,
         nodes_traversed=traversed,
@@ -155,7 +176,7 @@ def _finalize_traces(game: Game, gamma: float, num_lanes: int, carry, tr
 def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
                     temperature: Schedule, num_lanes: int, rng,
                     flip_probability: float = 0.0,
-                    num_moves_cap: int = 0) -> TraceBatch:
+                    num_moves_cap: int = 0, mesh=None) -> TraceBatch:
     """Play ``num_lanes`` full self-play games and emit training samples.
 
     ``temperature`` is the per-turn action-selection schedule
@@ -170,7 +191,7 @@ def self_play_batch(game: Game, oracle: mcts.Oracle, cfg: mcts.MCTSConfig,
     L = num_moves_cap or game.max_game_length
     B = num_lanes
     move, reuse = _make_move_fn(game, oracle, cfg, temperature, B,
-                                flip_probability)
+                                flip_probability, mesh=mesh)
     rng, init_key = jax.random.split(rng)
     carry0 = _init_carry(game, cfg, B, reuse, init_key)
     keys = jax.random.split(rng, L)
@@ -182,7 +203,7 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
                              temperature: Schedule, num_lanes: int,
                              flip_probability: float = 0.0,
                              segment_moves: int = 8,
-                             num_moves_cap: int = 0):
+                             num_moves_cap: int = 0, mesh=None):
     """Self-play split into short per-segment dispatches.
 
     Functionally identical to jitting :func:`self_play_batch`, but each
@@ -195,6 +216,13 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
     ``network_fwd(net, states, obs, mask) -> (P, V)`` binds the network
     explicitly so the segment program caches across net updates.  Returns
     ``run(net, rng) -> TraceBatch``.
+
+    With ``mesh``, lanes shard over the mesh's ``data`` axis: the initial
+    carry is committed data-sharded, the net replicated, and the per-move
+    state batch re-constrained inside the scan (see ``_make_move_fn``).
+    This is the production multi-chip self-play path — under a multi-host
+    runtime (``parallel.distributed``) every host runs the same segments on
+    its chips' lane shards.
     """
     B = num_lanes
     L = num_moves_cap or game.max_game_length
@@ -203,7 +231,7 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
         def oracle(states, obs, mask):
             return network_fwd(net, states, obs, mask)
         move, _ = _make_move_fn(game, oracle, cfg, temperature, B,
-                                flip_probability)
+                                flip_probability, mesh=mesh)
         return jax.lax.scan(move, carry, (turns, keys))
 
     seg_jit = jax.jit(seg)
@@ -222,6 +250,15 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
     def run(net, rng) -> TraceBatch:
         rng, init_key = jax.random.split(rng)
         carry = _init_carry(game, cfg, B, reuse, init_key)
+        if mesh is not None:
+            from .parallel import put_data_sharded, put_replicated
+            net = put_replicated(mesh, net)
+            s0, ctree0, cvalid0, trav0, sims0 = carry
+            carry = (put_data_sharded(mesh, s0, 0),
+                     put_data_sharded(mesh, ctree0, 1),
+                     put_data_sharded(mesh, cvalid0, 0),
+                     put_replicated(mesh, trav0),
+                     put_replicated(mesh, sims0))
         keys = jax.random.split(rng, L)
         trs = []
         for s in range(0, L, segment_moves):

@@ -64,11 +64,15 @@ class Session(training.Handlers):
     def __init__(self, experiment: Experiment, dir: Optional[str] = None,
                  autosave: bool = True, save_intermediate: bool = False,
                  seed: int = 0, quiet: bool = False,
-                 benchmark_every: int = 1):
+                 benchmark_every: int = 1, mesh=None):
         self.experiment = experiment
         self.dir = dir or os.path.join("sessions", experiment.name)
         self.autosave = autosave
         self.save_intermediate = save_intermediate
+        # optional jax.sharding.Mesh: runs every phase SPMD over its `data`
+        # axis (self-play lanes, replay, learner batches, arena lanes); the
+        # session logic itself is layout-independent
+        self.mesh = mesh
         # run the benchmark suite at iterations 0, k*benchmark_every, and the
         # final iteration (the reference benchmarks every iteration,
         # ``session.jl:529-533``; sparser cadences save evaluation compute)
@@ -87,7 +91,7 @@ class Session(training.Handlers):
                               f"in {self.dir}")
             self.env = training.AZEnv.create(
                 experiment.game, experiment.netspec, experiment.params,
-                seed=seed)
+                seed=seed, mesh=mesh)
             self._fresh = True
         self._load_benchmark_history()
 
@@ -150,7 +154,9 @@ class Session(training.Handlers):
             np.asarray(meta["rng"], dtype=np.uint32))
         self.env = training.AZEnv(
             game=e.game, netspec=e.netspec, params=e.params, curnn=curnn,
-            bestnn=bestnn, replay=replay, itc=meta["iteration"], rng=rng)
+            bestnn=bestnn, replay=replay, itc=meta["iteration"], rng=rng,
+            mesh=self.mesh)
+        self.env.commit_to_mesh()
         self._fresh = False
         self.logger.print(
             f"Loaded session from {self.dir} at iteration {meta['iteration']}")
@@ -172,7 +178,7 @@ class Session(training.Handlers):
         for item in self.experiment.benchmark:
             ev = arenamod.run_benchmark_item(
                 env.game, env.netspec, env.bestnn, item, env.next_key(),
-                gamma=env.params.self_play.mcts.gamma)
+                gamma=env.params.self_play.mcts.gamma, mesh=env.mesh)
             evals.append(ev)
             self._log_evaluation(ev)
         if evals:

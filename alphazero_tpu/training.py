@@ -51,7 +51,17 @@ class Handlers:
 @dataclasses.dataclass
 class AZEnv:
     """The training environment (``Env``, ``training.jl:27-42``): current and
-    best network states, replay memory, iteration counter."""
+    best network states, replay memory, iteration counter.
+
+    ``mesh`` (optional, not checkpointed) makes every phase of the loop run
+    SPMD over the mesh's ``data`` axis: self-play lanes, the replay buffer,
+    learner minibatches and arena lanes are sharded; network parameters are
+    replicated.  The reference distributes only self-play, by shipping
+    closures to worker processes (``src/simulations.jl:252-290``); here the
+    ONE jitted program per phase is partitioned by GSPMD, and under a
+    multi-host runtime (``parallel.distributed``) the same host loop runs
+    unchanged on every host.
+    """
 
     game: Game
     netspec: NetworkSpec
@@ -61,17 +71,31 @@ class AZEnv:
     replay: memmod.Replay
     itc: int = 0
     rng: Any = None
+    mesh: Any = None
 
     @staticmethod
     def create(game: Game, netspec: NetworkSpec, params: cfgmod.Params,
-               seed: int = 0) -> "AZEnv":
+               seed: int = 0, mesh=None) -> "AZEnv":
         rng = jax.random.key(seed)
         rng, init_key = jax.random.split(rng)
         net = Network(game, netspec).init(init_key)
         cap = _round_capacity(params, params.mem_buffer_size(0))
-        return AZEnv(game=game, netspec=netspec, params=params, curnn=net,
-                     bestnn=net, replay=memmod.init_replay(game, cap),
-                     rng=rng)
+        env = AZEnv(game=game, netspec=netspec, params=params, curnn=net,
+                    bestnn=net, replay=memmod.init_replay(game, cap),
+                    rng=rng, mesh=mesh)
+        env.commit_to_mesh()
+        return env
+
+    def commit_to_mesh(self) -> None:
+        """Place the env's device state onto the mesh: networks replicated,
+        replay sharded over ``data`` along its capacity axis.  No-op without
+        a mesh (single-chip layout)."""
+        if self.mesh is None:
+            return
+        from . import parallel
+        self.curnn = parallel.put_replicated(self.mesh, self.curnn)
+        self.bestnn = parallel.put_replicated(self.mesh, self.bestnn)
+        self.replay = parallel.put_data_sharded(self.mesh, self.replay, 0)
 
     def next_key(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -112,7 +136,7 @@ def initial_report(env: AZEnv) -> R.Initial:
 @functools.lru_cache(maxsize=64)
 def _selfplay_program(game: Game, netspec: NetworkSpec,
                       p: cfgmod.MctsParams, num_lanes: int,
-                      flip_probability: float):
+                      flip_probability: float, mesh=None):
     network = Network(game, netspec.inference_spec())
     cfg = arenamod.mcts_config(p)
 
@@ -124,7 +148,7 @@ def _selfplay_program(game: Game, netspec: NetworkSpec,
     # dispatch at flagship size and crashes the TPU worker (NOTES.md)
     return spmod.make_segmented_self_play(
         game, fwd, cfg, p.temperature, num_lanes,
-        flip_probability=flip_probability)
+        flip_probability=flip_probability, mesh=mesh)
 
 
 def self_play_step(env: AZEnv, handlers: Handlers) -> R.SelfPlay:
@@ -132,16 +156,16 @@ def self_play_step(env: AZEnv, handlers: Handlers) -> R.SelfPlay:
     p = env.params.self_play
     handlers.self_play_started(env)
     run = _selfplay_program(env.game, env.netspec, p.mcts, p.sim.num_lanes,
-                            p.sim.flip_probability)
+                            p.sim.flip_probability, env.mesh)
     env.replay = memmod.new_batch(env.replay)
     t0 = time.perf_counter()
     total_moves = 0
     depth_sum, sims_sum = 0, 0
     for _ in range(p.sim.num_rounds):
         tb = run(env.bestnn, env.next_key())
-        env.replay = _push_program(env.game, env.replay.capacity)(
+        env.replay = _push_program(env.game, env.replay.capacity, env.mesh)(
             env.replay, tb)
-        total_moves += int(jnp.sum(tb.num_moves))
+        total_moves += int(jax.jit(jnp.sum)(tb.num_moves))
         depth_sum += int(tb.nodes_traversed)
         sims_sum += int(tb.num_sims)
         handlers.game_played(env)
@@ -161,11 +185,22 @@ def self_play_step(env: AZEnv, handlers: Handlers) -> R.SelfPlay:
 
 
 @functools.lru_cache(maxsize=32)
-def _push_program(game: Game, capacity: int):
+def _push_program(game: Game, capacity: int, mesh=None):
     @jax.jit
     def doit(replay: memmod.Replay, tb: spmod.TraceBatch):
-        return memmod.push(replay, tb.states, tb.pi, tb.z, tb.t, tb.key,
-                           tb.valid)
+        out = memmod.push(replay, tb.states, tb.pi, tb.z, tb.t, tb.key,
+                          tb.valid)
+        if mesh is not None:
+            # keep the ring sharded over data across iterations (the
+            # scatter would otherwise inherit whatever GSPMD picked)
+            from . import parallel
+            out = out._replace(
+                states=parallel.shard_axis(mesh, out.states, 0),
+                pi=parallel.shard_axis(mesh, out.pi, 0),
+                z=parallel.shard_axis(mesh, out.z, 0),
+                t=parallel.shard_axis(mesh, out.t, 0),
+                key=parallel.shard_axis(mesh, out.key, 0))
+        return out
     return doit
 
 
@@ -183,7 +218,7 @@ def compare_networks(env: AZEnv, contender: NetState, baseline: NetState,
     if env.game.two_players:
         res = arenamod.play_duel(
             env.game, env.netspec, spec, spec, ap.sim, contender, baseline,
-            env.next_key(), gamma=ap.mcts.gamma)
+            env.next_key(), gamma=ap.mcts.gamma, mesh=env.mesh)
         handlers.checkpoint_game_played(env)
         rewards = np.asarray(res.rewards)
         avgr = float(rewards.mean())
@@ -192,10 +227,10 @@ def compare_networks(env: AZEnv, contender: NetState, baseline: NetState,
     else:
         res_c = arenamod.play_duel(
             env.game, env.netspec, spec, None, ap.sim, contender, contender,
-            env.next_key(), gamma=ap.mcts.gamma)
+            env.next_key(), gamma=ap.mcts.gamma, mesh=env.mesh)
         res_b = arenamod.play_duel(
             env.game, env.netspec, spec, None, ap.sim, baseline, baseline,
-            env.next_key(), gamma=ap.mcts.gamma)
+            env.next_key(), gamma=ap.mcts.gamma, mesh=env.mesh)
         rewards = np.asarray(res_c.rewards)
         baseline_rewards = list(map(float, np.asarray(res_b.rewards)))
         avgr = float(rewards.mean() - np.asarray(res_b.rewards).mean())
@@ -231,7 +266,8 @@ def learning_step(env: AZEnv, handlers: Handlers) -> R.Learning:
     t0 = time.perf_counter()
     trainer = learnmod.Trainer(
         env.game, env.netspec, env.curnn, env.replay, lp,
-        use_symmetries=env.params.use_symmetries, rng=env.next_key())
+        use_symmetries=env.params.use_symmetries, rng=env.next_key(),
+        mesh=env.mesh)
     tconvert = time.perf_counter() - t0
     init_status = trainer.learning_status()
     status = init_status
@@ -294,7 +330,8 @@ def memory_report(env: AZEnv, handlers: Handlers) -> Optional[R.Memory]:
 
     def report_for(replay) -> R.Samples:
         tr = learnmod.Trainer(env.game, env.netspec, env.curnn, replay, lp,
-                              use_symmetries=False, rng=env.next_key())
+                              use_symmetries=False, rng=env.next_key(),
+                              mesh=env.mesh)
         return tr.samples_report()
 
     all_samples = report_for(env.replay)
@@ -353,6 +390,9 @@ def resize_memory(env: AZEnv, n: int) -> None:
     cap = _round_capacity(env.params, n)
     if cap != env.replay.capacity:
         env.replay = memmod.resize(env.game, env.replay, cap)
+        if env.mesh is not None:
+            from . import parallel
+            env.replay = parallel.put_data_sharded(env.mesh, env.replay, 0)
 
 
 def train(env: AZEnv, handlers: Optional[Handlers] = None) -> None:

@@ -148,20 +148,21 @@ def test_selfplay_trace_to_samples():
     tb = jax.jit(lambda k: selfplay.self_play_batch(
         game, oracle, cfg, ConstSchedule(1.0), 4, k))(jax.random.key(0))
     L, B = game.max_game_length, 4
-    valid = np.asarray(tb.valid).reshape(L, B)
-    z = np.asarray(tb.z).reshape(L, B)
-    t = np.asarray(tb.t).reshape(L, B)
+    # samples flatten lane-major: [B, L]
+    valid = np.asarray(tb.valid).reshape(B, L)
+    z = np.asarray(tb.z).reshape(B, L)
+    t = np.asarray(tb.t).reshape(B, L)
     wr = np.asarray(tb.white_reward)
     nm = np.asarray(tb.num_moves)
-    players = np.asarray(jax.vmap(game.to_play)(tb.states)).reshape(L, B)
+    players = np.asarray(jax.vmap(game.to_play)(tb.states)).reshape(B, L)
     for b in range(B):
         T = nm[b]
-        assert valid[:T, b].all() and not valid[T:, b].any()
+        assert valid[b, :T].all() and not valid[b, T:].any()
         # ttt: single terminal reward, so z_t = +-wr for all t
         for i in range(T):
-            expect = wr[b] if players[i, b] == 0 else -wr[b]
-            assert z[i, b] == pytest.approx(expect), (b, i)
-            assert t[i, b] == pytest.approx(T - i)
+            expect = wr[b] if players[b, i] == 0 else -wr[b]
+            assert z[b, i] == pytest.approx(expect), (b, i)
+            assert t[b, i] == pytest.approx(T - i)
 
 
 def test_redundancy_helper():

@@ -106,6 +106,36 @@ def test_benchmark_duel_small():
     assert won + draw + lost == 16 and won > lost
 
 
+def test_cross_architecture_duel():
+    """``play_duel`` can pit two DIFFERENT network architectures against
+    each other (the reference's two-net inference server capability,
+    ``src/simulations.jl:70-99``): SimpleNet agent vs ResNet agent."""
+    from alphazero_tpu import arena as A
+    from alphazero_tpu.config import MctsParams, SimParams
+    from alphazero_tpu.envs import registry
+    from alphazero_tpu.models import ResNetSpec, SimpleNetSpec
+    from alphazero_tpu.models.interface import Network
+
+    game = registry()["tictactoe"]
+    spec_a = SimpleNetSpec(width=16, depth_common=1)
+    spec_b = ResNetSpec(num_filters=8, num_blocks=1)
+    net_a = Network(game, spec_a).init(jax.random.key(0))
+    net_b = Network(game, spec_b).init(jax.random.key(1))
+    mp = MctsParams(num_iters_per_turn=8)
+    res = A.play_duel(
+        game, spec_a, A.Full(mp), A.Full(mp),
+        SimParams(num_games=8, num_lanes=8, alternate_colors=True),
+        net_a, net_b, jax.random.key(2), netspec_b=spec_b)
+    r = np.asarray(res.rewards)
+    assert r.shape == (8,) and np.all(np.isin(r, [-1.0, 0.0, 1.0]))
+    # and a NetworkOnly-vs-Full cross-arch pairing also compiles/runs
+    res2 = A.play_duel(
+        game, spec_a, A.NetworkOnly(), A.Full(mp),
+        SimParams(num_games=8, num_lanes=8, alternate_colors=True),
+        net_a, net_b, jax.random.key(3), netspec_b=spec_b)
+    assert np.asarray(res2.rewards).shape == (8,)
+
+
 def test_bn_imprinting_survives_sorted_padded_dataset():
     """``learning_status`` must leave the network's batch-norm running
     statistics representative of the *valid data* — not of the sorted tail
