@@ -162,6 +162,22 @@ def _parse_action(txt: str):
     return a if 0 <= a < NUM_COLS else None
 
 
+def _read_state(txt: str):
+    """Parse a state from a move string ("4453": 1-based columns played from
+    the empty board — the Pons benchmark / solver notation and the analogue
+    of ``GI.read_state``, ``games/connect-four/game.jl:276-300``)."""
+    txt = txt.strip()
+    if not txt or any(c not in "1234567" for c in txt):
+        return None
+    s = _init()
+    for c in txt:
+        a = int(c) - 1
+        if bool(s.done) or not bool(_legal_mask(s)[a]):
+            return None
+        s = _step(s, jnp.asarray(a), None)
+    return s
+
+
 GAME = Game(
     name="connect-four",
     num_actions=NUM_COLS,
@@ -184,4 +200,5 @@ GAME = Game(
     render=_render,
     action_string=_action_string,
     parse_action=_parse_action,
+    read_state=_read_state,
 )

@@ -177,6 +177,32 @@ def _parse_action(txt: str):
     return a if 0 <= a < NUM_CELLS else None
 
 
+def _read_state(txt: str):
+    """Parse a board description (``GI.read_state``,
+    ``games/tictactoe/game.jl:169-186``): 9 cells over ``.ox`` in row-major
+    order, whitespace ignored (e.g. ``"ox. .o. ..x"``); the player to move
+    is inferred from the stone counts (white = ``o`` moves first)."""
+    cells = [c for c in txt.lower() if c in ".ox_-"]
+    if len(cells) != NUM_CELLS:
+        return None
+    marks = {".": 0, "_": 0, "-": 0, "o": 1, "x": 2}
+    board = np.asarray([marks[c] for c in cells], np.int8)
+    n_o, n_x = int((board == 1).sum()), int((board == 2).sum())
+    if n_o - n_x not in (0, 1):
+        return None
+    player = WHITE if n_o == n_x else 1 - WHITE
+    won_o = bool(np.asarray(_has_won(jnp.asarray(board), jnp.int8(1))))
+    won_x = bool(np.asarray(_has_won(jnp.asarray(board), jnp.int8(2))))
+    if won_o and won_x:
+        return None
+    rew = 1.0 if won_o else (-1.0 if won_x else 0.0)
+    done = won_o or won_x or bool((board != 0).all())
+    return TTTState(board=jnp.asarray(board),
+                    player=jnp.asarray(player, jnp.int32),
+                    done=jnp.asarray(done),
+                    rew=jnp.asarray(rew, jnp.float32))
+
+
 GAME = Game(
     name="tictactoe",
     num_actions=NUM_CELLS,
@@ -199,4 +225,5 @@ GAME = Game(
     render=_render,
     action_string=_action_string,
     parse_action=_parse_action,
+    read_state=_read_state,
 )

@@ -7,8 +7,8 @@ knobs (``num_lanes`` replaces the worker/batch pair).
 from __future__ import annotations
 
 from .. import arena as A
-from ..config import (ArenaParams, LearningParams, MctsParams, Params,
-                      SelfPlayParams, SimParams)
+from ..config import (ArenaParams, LearningParams, MctsParams,
+                      MemAnalysisParams, Params, SelfPlayParams, SimParams)
 from ..envs import registry as game_registry
 from ..models import CyclicNesterov, SimpleNetSpec
 from ..utils.schedules import ConstSchedule
@@ -45,6 +45,7 @@ def experiment() -> Experiment:
     params = Params(
         arena=arena, self_play=self_play, learning=learning,
         num_iters=4, ternary_outcome=True, use_symmetries=True,
+        memory_analysis=MemAnalysisParams(num_game_stages=4),
         mem_buffer_size=ConstSchedule(80_000))
     benchmark_sim = SimParams(num_games=400, num_lanes=200,
                               flip_probability=0.5, alternate_colors=True)

@@ -103,9 +103,14 @@ def main(argv=None):
                           mesh=mesh)
         session.resume()
     elif args.cmd == "replot":
-        from ..session.plots import plot_benchmark, plot_training
+        from ..session.plots import (plot_benchmark, plot_iteration,
+                                     plot_training)
         import os
         d = args.dir or os.path.join("sessions", exp.name)
+        rdir = os.path.join(d, "reports")
+        if os.path.isdir(rdir):
+            for fn in os.listdir(rdir):
+                plot_iteration(d, int(fn.split("_")[1].split(".")[0]))
         plot_training(d)
         plot_benchmark(d)
         print(f"plots regenerated under {d}/plots")

@@ -30,6 +30,104 @@ def _load_reports(session_dir: str) -> List[dict]:
     return out
 
 
+def _update_threshold(session_dir: str):
+    try:
+        with open(os.path.join(session_dir, "params.json")) as f:
+            return json.load(f)["arena"]["update_threshold"]
+    except (OSError, KeyError, TypeError):
+        return None
+
+
+def _momentum_smoothing(xs, alpha=0.1):
+    """(``Util.momentum_smoothing``, ``src/util.jl:115-121``)"""
+    out, m = [], None
+    for x in xs:
+        m = x if m is None else alpha * x + (1 - alpha) * m
+        out.append(m)
+    return out
+
+
+def plot_iteration(session_dir: str, itc: int) -> None:
+    """The reference's per-iteration plot families
+    (``plot_iteration``, ``plots.jl:82-108``): checkpoint losses + arena
+    scatter (``iter_summary``), phase-time pies (``iter_perfs``), smoothed
+    minibatch losses (``iter_loss``) — one PNG per iteration under
+    ``plots/<family>/<itc>.png``."""
+    path = os.path.join(session_dir, "reports", f"iter_{itc}.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        rep = json.load(f)
+    learning = rep.get("learning") or {}
+    checkpoints = learning.get("checkpoints") or []
+    pdir = os.path.join(session_dir, "plots")
+
+    def save(fig, family):
+        d = os.path.join(pdir, family)
+        os.makedirs(d, exist_ok=True)
+        fig.tight_layout()
+        fig.savefig(os.path.join(d, f"{itc}.png"), dpi=120)
+        plt.close(fig)
+
+    # --- iter_summary: losses over checkpoints + arena scatter ----------
+    if checkpoints:
+        fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(7, 7))
+        xs = [0] + [c["batch_id"] for c in checkpoints]
+        init = learning.get("initial_status") or {}
+        for comp in ["L", "Lp", "Lv", "Lreg", "Linv"]:
+            ys = [(init.get("loss") or {}).get(comp)] + [
+                ((c.get("status_after_update") or {}).get("loss") or {})
+                .get(comp) for c in checkpoints]
+            ax1.plot(xs, ys, marker="o", ms=3, label=comp)
+        ax1.set_title("Losses"); ax1.legend(fontsize=8); ax1.grid(alpha=0.3)
+        cx = [c["batch_id"] for c in checkpoints]
+        cy = [(c.get("evaluation") or {}).get("avgr") for c in checkpoints]
+        ax2.scatter(cx, cy)
+        ax2.set_ylim(-1, 1)
+        ax2.axhline(0, color="gray", lw=0.8)
+        thr = _update_threshold(session_dir)
+        if thr is not None:
+            ax2.axhline(thr, color="red", lw=0.8, ls="--")
+        ax2.set_title("Checkpoints"); ax2.set_xlabel("batch number")
+        ax2.grid(alpha=0.3)
+        save(fig, "iter_summary")
+
+    # --- iter_perfs: phase-time pies (``performances_plot``) ------------
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4.5))
+    glob_labels = ["Self Play", "Memory Analysis", "Learning"]
+    glob_vals = [((rep.get("perfs_self_play") or {}).get("time", 0)),
+                 ((rep.get("perfs_memory_analysis") or {}).get("time", 0)),
+                 ((rep.get("perfs_learning") or {}).get("time", 0))]
+    pairs = [(l, v) for l, v in zip(glob_labels, glob_vals) if v and v > 0]
+    if pairs:
+        axes[0].pie([v for _, v in pairs], labels=[l for l, _ in pairs],
+                    autopct="%.0f%%", textprops={"fontsize": 8})
+    axes[0].set_title("Global")
+    learn_labels = ["Samples conversion", "Loss computation",
+                    "Optimization", "Arena (MCTS)"]
+    learn_vals = [learning.get("time_convert", 0),
+                  learning.get("time_loss", 0),
+                  learning.get("time_train", 0),
+                  learning.get("time_eval", 0)]
+    pairs = [(l, v) for l, v in zip(learn_labels, learn_vals)
+             if v and v > 0]
+    if pairs:
+        axes[1].pie([v for _, v in pairs], labels=[l for l, _ in pairs],
+                    autopct="%.0f%%", textprops={"fontsize": 8})
+    axes[1].set_title("Learning")
+    save(fig, "iter_perfs")
+
+    # --- iter_loss: smoothed minibatch losses ---------------------------
+    losses = learning.get("losses") or []
+    if losses:
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        ax.plot(_momentum_smoothing(losses, 0.1))
+        ax.set_ylim(0, None)
+        ax.set_title("Loss on Minibatches"); ax.set_xlabel("batch number")
+        ax.grid(alpha=0.3)
+        save(fig, "iter_loss")
+
+
 def plot_training(session_dir: str) -> None:
     """Loss / entropy / perf curves (``plots.jl:164-253``)."""
     reports = _load_reports(session_dir)
@@ -88,22 +186,79 @@ def plot_training(session_dir: str) -> None:
     fig.savefig(os.path.join(pdir, "perf.png"), dpi=120)
     plt.close(fig)
 
-    # arena (gating) curve
+    # arena (gating) results: best checkpoint avgr per iteration, as bars
+    # with the 0 and update-threshold lines (``plots.jl:189-200``)
     avgr = []
     for _, r in reports:
         cks = (r.get("learning") or {}).get("checkpoints") or []
-        avgr.append(cks[-1]["evaluation"]["avgr"] if cks and
-                    cks[-1].get("evaluation") else None)
+        vals = [c["evaluation"]["avgr"] for c in cks if c.get("evaluation")]
+        avgr.append(max(vals) if vals else None)
     if any(v is not None for v in avgr):
         fig, ax = plt.subplots(figsize=(7, 4.5))
-        ax.plot(iters, avgr, marker="o", ms=3)
+        xs = [i for i, v in zip(iters, avgr) if v is not None]
+        ys = [v for v in avgr if v is not None]
+        ax.bar(xs, ys, width=0.7)
         ax.axhline(0, color="gray", lw=0.8)
+        thr = _update_threshold(session_dir)
+        if thr is not None:
+            ax.axhline(thr, color="red", lw=0.8, ls="--",
+                       label="update threshold")
+            ax.legend(fontsize=8)
+        ax.set_ylim(-1, 1)
         ax.set_xlabel("iteration"); ax.set_ylabel("arena avg reward")
-        ax.set_title("Arena: current vs best network")
+        ax.set_title("Arena Results")
         ax.grid(alpha=0.3)
         fig.tight_layout()
         fig.savefig(os.path.join(pdir, "arena.png"), dpi=120)
         plt.close(fig)
+
+    # experience buffer size + distinct boards (``plots.jl:179-187``)
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.plot(iters, series(["self_play", "memory_size"]),
+            marker="o", ms=3, label="number of samples")
+    ax.plot(iters, series(["self_play", "memory_num_distinct_boards"]),
+            marker="o", ms=3, label="distinct boards")
+    ax.set_xlabel("iteration"); ax.set_title("Experience Buffer Size")
+    ax.legend(); ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(os.path.join(pdir, "nsamples.png"), dpi=120)
+    plt.close(fig)
+
+    # memory-analysis plots (``plots.jl:207-233``), when the reports carry
+    # a memory section: loss on the latest self-play batch + per-stage loss
+    if all(r.get("memory") for _, r in reports):
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for comp in ["L", "Lp", "Lv", "Lreg", "Linv"]:
+            ax.plot(iters, series(["memory", "latest_batch", "status",
+                                   "loss", comp]),
+                    marker="o", ms=3, label=comp)
+        ax.set_xlabel("iteration"); ax.set_title("Loss on Last Batch")
+        ax.legend(fontsize=8); ax.grid(alpha=0.3)
+        fig.tight_layout()
+        fig.savefig(os.path.join(pdir, "loss_last_batch.png"), dpi=120)
+        plt.close(fig)
+
+        nstages = min(len(r["memory"]["per_game_stage"]) for _, r in reports)
+        if nstages > 0:
+            cmap = plt.get_cmap("coolwarm")
+            fig, ax = plt.subplots(figsize=(7, 4.5))
+            for s in range(nstages):
+                stages = [r["memory"]["per_game_stage"][s]
+                          for _, r in reports]
+                tmin = min(st["min_remaining_length"] for st in stages)
+                tmax = max(st["max_remaining_length"] for st in stages)
+                ax.plot(iters,
+                        [st["samples_stats"]["status"]["loss"]["L"]
+                         for st in stages],
+                        marker="o", ms=3,
+                        color=cmap(s / max(nstages - 1, 1)),
+                        label=f"{tmin:.0f} to {tmax:.0f} turns left")
+            ax.set_ylim(0, None)
+            ax.set_xlabel("iteration"); ax.set_title("Loss per Game Stage")
+            ax.legend(fontsize=8); ax.grid(alpha=0.3)
+            fig.tight_layout()
+            fig.savefig(os.path.join(pdir, "loss_per_stage.png"), dpi=120)
+            plt.close(fig)
 
 
 def plot_benchmark(session_dir: str) -> None:

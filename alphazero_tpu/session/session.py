@@ -329,7 +329,8 @@ class Session(training.Handlers):
                 self.save(os.path.join(self.dir, f"iter_{env.itc}"))
             self.logger.print(f"Session saved to {self.dir}")
         try:
-            from .plots import plot_training, plot_benchmark
+            from .plots import plot_benchmark, plot_iteration, plot_training
+            plot_iteration(self.dir, env.itc)
             plot_training(self.dir)
             plot_benchmark(self.dir)
         except Exception as exc:  # plots must never kill training

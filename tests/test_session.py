@@ -50,8 +50,13 @@ def test_session_save_resume(tmp_path):
     # artifacts on disk
     assert os.path.exists(os.path.join(d, "reports", "iter_1.json"))
     assert os.path.exists(os.path.join(d, "benchmarks", "iter_0.json"))
-    assert os.path.exists(os.path.join(d, "plots", "loss.png"))
     assert os.path.exists(os.path.join(d, "log.txt"))
+    # the reference's full plot-family set (``src/ui/plots.jl:20-253``)
+    for f in ("loss.png", "entropies.png", "perf.png", "arena.png",
+              "nsamples.png", "benchmark.png", "loss_last_batch.png",
+              "loss_per_stage.png", "iter_summary/2.png",
+              "iter_perfs/2.png", "iter_loss/2.png"):
+        assert os.path.exists(os.path.join(d, "plots", f)), f
 
 
 def test_session_rejects_changed_netspec(tmp_path):
