@@ -27,7 +27,8 @@ class Experiment:
 
 def registry():
     from . import tictactoe, connect_four
-    exps = [tictactoe.experiment(), connect_four.experiment()]
+    exps = [tictactoe.experiment(), connect_four.experiment(),
+            connect_four.gumbel_experiment()]
     try:
         from . import mancala
         exps.append(mancala.experiment())

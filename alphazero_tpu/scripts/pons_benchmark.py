@@ -1,0 +1,407 @@
+"""Mistake rate on Pascal Pons' 6000-position benchmark — the faithful
+ground-truth protocol.
+
+Re-design of
+``/root/reference/games/connect-four/scripts/pons_benchmark.jl``: score the
+minmax baseline, the trained agent, and (when per-iteration environments
+were saved with ``--save-intermediate``) the agent across training
+iterations, on the published ``Test_L*_R*`` sets shipped in
+``alphazero_tpu/data/pons`` (6 buckets of game stage x difficulty,
+``pons_benchmark.jl:18-45``).
+
+Protocol per position (``optimal_on``, ``pons_benchmark.jl:101-107``): the
+player thinks on the position, its argmax move ``a`` is a mistake iff
+``sign(q(a)) != max_a' sign(q(a'))``.  The maximum over move-value signs
+equals the sign of the position's own score — which the dataset provides —
+so only ONE weak solve (of the chosen move's child) is needed per position;
+solves go through the in-repo C++ solver with a persistent on-disk cache.
+
+Where the reference fans positions out to async worker players over a
+batching server (``pons_benchmark.jl:110-133``), here each bucket's 1000
+positions are evaluated as a few batched MCTS dispatches.
+
+Usage:
+    python -m alphazero_tpu.scripts.pons_benchmark sessions/c4-flagship \
+        [--lanes 250] [--skip-minmax] [--max-iters 15] [--out FILE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "pons")
+
+STAGES = ["beginning", "middle", "end"]
+DIFFICULTIES = ["easy", "medium", "hard"]
+
+
+@dataclasses.dataclass
+class Bench:
+    """(``pons_benchmark.jl:43-47``)"""
+
+    stage: str
+    difficulty: str
+    entries: List[Tuple[str, int]]   # (move string, exact score)
+
+
+def load_benchmarks(data_dir: str = DATA_DIR) -> List[Bench]:
+    """(``load_benchmarks``, ``pons_benchmark.jl:49-75``; sorted by
+    (difficulty, stage) like the reference)."""
+    import re
+    benches = []
+    for fn in sorted(os.listdir(data_dir)):
+        m = re.match(r"^Test_L(\d)_R(\d)$", fn)
+        if not m:
+            continue
+        stage = STAGES[int(m.group(1)) - 1]
+        difficulty = DIFFICULTIES[int(m.group(2)) - 1]
+        entries = []
+        with open(os.path.join(data_dir, fn)) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    entries.append((parts[0], int(parts[1])))
+        benches.append(Bench(stage, difficulty, entries))
+    benches.sort(key=lambda b: (DIFFICULTIES.index(b.difficulty),
+                                STAGES.index(b.stage)))
+    return benches
+
+
+class SolveCache:
+    """Persistent weak-solve cache: move-string -> win/draw/loss sign.
+
+    Solves accumulate across agents and training iterations (the per-move
+    child positions repeat heavily), so the expensive begin-hard children
+    are paid for once per repo, not once per sweep.  This is the
+    "opening cache" companion to the solver's in-process transposition
+    tables: the TT warms *within* a sweep, the JSON cache *across* runs.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data: Dict[str, int] = {}
+        if path and os.path.exists(path):
+            with open(path) as f:
+                self.data = json.load(f)
+        self._dirty = 0
+
+    def sign_after(self, moves: str, col0: int,
+                   node_limit: int = 0) -> Optional[int]:
+        """Sign of the mover's value for playing column ``col0`` (0-based)
+        in the position ``moves`` — i.e. -sign(child score).  ``None`` when
+        the solve exceeded ``node_limit`` (counted as skipped upstream)."""
+        from .. import solver as S
+        child = moves + str(col0 + 1)
+        hit = self.data.get(child)
+        if hit is not None:
+            return hit
+        try:
+            res = S.solve(child, weak=True, node_limit=node_limit)
+        except S.BudgetExceeded:
+            return None
+        if res is None:
+            # invalid child: the move ends the game (win for the mover) or
+            # the column is illegal; resolve via move_values on the parent
+            try:
+                vals = S.move_values(moves, weak=True,
+                                     node_limit=node_limit)
+            except S.BudgetExceeded:
+                return None
+            v = vals[col0]
+            sign = 0 if v is None else int((v > 0) - (v < 0))
+        else:
+            sign = int(-((res > 0) - (res < 0)))
+        self.data[child] = sign
+        self._dirty += 1
+        if self._dirty >= 50:
+            self.save()
+        return sign
+
+    def save(self):
+        if not self.path:
+            return
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f)
+        os.replace(tmp, self.path)
+        self._dirty = 0
+
+
+def _states_batch(entries):
+    """Vectorized dataset loader: all positions of a bucket as ONE batched
+    ``C4State`` (pure numpy move replay — ``game.read_state`` per position
+    would cost tens of thousands of eager device dispatches)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = len(entries)
+    boards = np.zeros((n, 6, 7), np.int8)
+    players = np.zeros(n, np.int32)
+    heights = np.zeros(7, np.int32)
+    for i, (moves, _) in enumerate(entries):
+        heights[:] = 0
+        p = 1
+        b = boards[i]
+        for ch in moves:
+            c = int(ch) - 1
+            b[heights[c], c] = p
+            heights[c] += 1
+            p = 3 - p
+        players[i] = p - 1  # 1-> WHITE(0), 2 -> 1
+    from ..envs.connect_four import C4State
+    return C4State(board=jnp.asarray(boards),
+                   player=jnp.asarray(players),
+                   done=jnp.zeros(n, bool),
+                   rew=jnp.zeros(n, jnp.float32))
+
+
+def _batched_argmax_player(game, think, lanes: int):
+    """Evaluate ``think`` over positions in fixed-size batches, returning
+    the argmax move per position."""
+    import jax
+    import numpy as np
+
+    def run(states, rng):
+        n = jax.tree.leaves(states)[0].shape[0]
+        moves = np.zeros(n, np.int32)
+        for base in range(0, n, lanes):
+            m = min(lanes, n - base)
+            idx = np.arange(base, base + lanes) % n  # wrap-pad
+            batch = jax.tree.map(lambda x: x[idx], states)
+            rng, sub = jax.random.split(rng)
+            pi = think(batch, sub)
+            moves[base:base + m] = np.argmax(np.asarray(pi)[:m], axis=-1)
+        return moves
+
+    return run
+
+
+def make_alphazero_think(game, netspec, net, mcts_params):
+    """Arena-params agent with zero temperature and no noise
+    (``test_alphazero``, ``pons_benchmark.jl:160-168``)."""
+    import jax
+
+    from .. import arena as A
+    from ..utils.schedules import ConstSchedule
+
+    mp = mcts_params.replace(temperature=ConstSchedule(0.0),
+                             dirichlet_noise_eps=0.0)
+    spec = A.Full(mp)
+    think_fn, _ = spec.make_think(game, netspec)
+    jitted = jax.jit(lambda states, rng: think_fn(net, states, 0, rng))
+    return jitted
+
+
+def make_minmax_think(game, depth: int = 5):
+    """(``pons_benchmark.jl:172-174``)"""
+    import jax
+
+    from .. import arena as A
+
+    spec = A.MinMaxTS(depth=depth, amplify_rewards=True, tau=0.0)
+    think_fn, _ = spec.make_think(game, None)
+    return jax.jit(lambda states, rng: think_fn(None, states, 0, rng))
+
+
+def think_player(name, think, benches, game, lanes: int,
+                 moves_store: Optional[dict] = None) -> Dict[str, List[int]]:
+    """Phase 1 (accelerator): the player's argmax move on every position.
+
+    Decoupled from the solve phase so the thinks can run on the TPU while
+    the (CPU-only) solver grinds in parallel; results persist in
+    ``moves_store[name]``.
+    """
+    import jax
+    runner = _batched_argmax_player(game, think, lanes)
+    rng = jax.random.key(7)
+    out = {} if moves_store is None else moves_store.setdefault(name, {})
+    for b in benches:
+        bkey = f"{b.stage}/{b.difficulty}"
+        if bkey in out:
+            continue
+        t0 = time.time()
+        states = _states_batch(b.entries)
+        rng, sub = jax.random.split(rng)
+        out[bkey] = [int(a) for a in runner(states, sub)]
+        print(f"  think {name} ({bkey}): {time.time() - t0:.0f}s",
+              flush=True)
+    return out
+
+
+def score_moves(name, moves_by_bucket, benches, cache: SolveCache,
+                node_limit: int = 0, log=print) -> List[float]:
+    """Phase 2 (CPU): error rate per bucket (``test_player``,
+    ``pons_benchmark.jl:135-145``).  Positions whose child solve exceeds
+    ``node_limit`` are reported as skipped and excluded from the rate."""
+    errs = []
+    for b in benches:
+        bkey = f"{b.stage}/{b.difficulty}"
+        moves = moves_by_bucket[bkey]
+        t0 = time.time()
+        n_err = n_skip = 0
+        for (mstr, score), a in zip(b.entries, moves):
+            best_sign = (score > 0) - (score < 0)
+            got = cache.sign_after(mstr, int(a), node_limit)
+            if got is None:
+                n_skip += 1
+            else:
+                n_err += int(got != best_sign)
+        n_scored = len(b.entries) - n_skip
+        err = n_err / max(n_scored, 1)
+        errs.append(err)
+        skip_note = f", {n_skip} over budget" if n_skip else ""
+        log(f"  ({b.stage}, {b.difficulty}): {100 * err:.2f}%  "
+            f"[{n_scored} scored{skip_note}, {time.time() - t0:.0f}s]")
+        cache.save()
+    return errs
+
+
+def plot_results(results: dict, benches, out_png: str):
+    """3x2 grid of per-bucket error-rate curves with the minmax hline
+    (``plot_results``, ``pons_benchmark.jl:232-262``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    azt = results.get("alphazero_training") or []
+    fig, axes = plt.subplots(3, 2, figsize=(10, 11))
+    for n, b in enumerate(benches):
+        ax = axes[n // 2][n % 2]
+        title = f"{b.stage.capitalize()} - {b.difficulty.capitalize()}"
+        if azt:
+            xs = [itc for itc, _ in azt]
+            ys = [100 * errs[n] for _, errs in azt]
+            ax.plot(xs, ys, marker="o", ms=3)
+        if results.get("alphazero"):
+            ax.axhline(100 * results["alphazero"][n], color="green",
+                       lw=0.8, ls=":", label="final agent")
+        if results.get("minmax"):
+            ax.axhline(100 * results["minmax"][n], color="red", lw=0.8,
+                       ls="--", label="minmax-5")
+        ax.set_title(title, fontsize=10)
+        ax.set_ylabel("Error rate (%)")
+        ax.set_ylim(0, None)
+        ax.grid(alpha=0.3)
+        if n == 0:
+            ax.legend(fontsize=8)
+    for ax in axes[-1]:
+        ax.set_xlabel("Training iteration")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("session_dir", nargs="?", default="sessions/c4-flagship")
+    ap.add_argument("--lanes", type=int, default=250)
+    ap.add_argument("--skip-minmax", action="store_true")
+    ap.add_argument("--skip-final", action="store_true")
+    ap.add_argument("--max-iters", type=int, default=15)
+    ap.add_argument("--iter-stride", type=int, default=1)
+    ap.add_argument("--buckets", default=None,
+                    help="comma-separated subset, e.g. 'end/easy,middle/easy'")
+    ap.add_argument("--phase", default="all",
+                    choices=["all", "think", "solve"],
+                    help="'think' = run the players (TPU) and store moves; "
+                         "'solve' = score stored moves (CPU only)")
+    ap.add_argument("--node-limit", type=int, default=0,
+                    help="per-solve node budget (0 = unlimited); positions "
+                         "over budget are reported as skipped")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cache", default="sessions/pons_solve_cache.json")
+    args = ap.parse_args(argv)
+
+    benches = load_benchmarks()
+    if args.buckets:
+        keep = set(args.buckets.split(","))
+        benches = [b for b in benches
+                   if f"{b.stage}/{b.difficulty}" in keep]
+
+    moves_path = os.path.join(args.session_dir, "pons-moves.json")
+    moves_store: dict = {}
+    if os.path.exists(moves_path):
+        with open(moves_path) as f:
+            moves_store = json.load(f)
+
+    from ..experiments import connect_four
+    exp = connect_four.experiment()
+    game = exp.game
+
+    agents = []  # (name, kind, itc)
+    if not args.skip_minmax:
+        agents.append(("minmax", "minmax", None))
+    if not args.skip_final:
+        agents.append(("alphazero", "session", None))
+    itc = 0
+    while itc <= args.max_iters:
+        if os.path.isdir(os.path.join(args.session_dir, f"iter_{itc}")):
+            agents.append((f"iter{itc}", "session", itc))
+        itc += args.iter_stride
+
+    # ---- phase 1: thinks (accelerator-bound) ----------------------------
+    if args.phase in ("all", "think"):
+        from ..session import Session
+        mcts_params = exp.params.arena.mcts
+        for name, kind, it in agents:
+            done = set(moves_store.get(name, {}))
+            if all(f"{b.stage}/{b.difficulty}" in done for b in benches):
+                continue
+            print(f"Thinking: {name}")
+            if kind == "minmax":
+                think = make_minmax_think(game, depth=5)
+            else:
+                d = (args.session_dir if it is None
+                     else os.path.join(args.session_dir, f"iter_{it}"))
+                sess = Session(exp, dir=d, autosave=False, quiet=True)
+                think = make_alphazero_think(
+                    game, exp.netspec, sess.env.bestnn, mcts_params)
+            think_player(name, think, benches, game, args.lanes,
+                         moves_store)
+            tmp = moves_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(moves_store, f)
+            os.replace(tmp, moves_path)
+
+    results = {"minmax": None, "alphazero": None, "alphazero_training": []}
+
+    # ---- phase 2: solver scoring (CPU-bound) ----------------------------
+    if args.phase in ("all", "solve"):
+        cache = SolveCache(args.cache)
+        for name, kind, it in agents:
+            if name not in moves_store:
+                print(f"(no stored moves for {name}; run --phase think)")
+                continue
+            print(f"Scoring: {name}")
+            errs = score_moves(name, moves_store[name], benches, cache,
+                               args.node_limit)
+            if name == "minmax":
+                results["minmax"] = errs
+            elif name == "alphazero":
+                results["alphazero"] = errs
+            else:
+                results["alphazero_training"].append((it, errs))
+
+        out = args.out or os.path.join(args.session_dir,
+                                       "pons-benchmark-results.json")
+        payload = dict(results)
+        payload["buckets"] = [f"{b.stage}/{b.difficulty}" for b in benches]
+        payload["node_limit"] = args.node_limit
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"results -> {out}")
+        if len(benches) == 6:
+            png = out.rsplit(".", 1)[0] + ".png"
+            plot_results(results, benches, png)
+            print(f"plot -> {png}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

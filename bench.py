@@ -24,12 +24,15 @@ def main():
     num_lanes = int(os.environ.get("BENCH_LANES", "1024"))
     num_sims = int(os.environ.get("BENCH_SIMS", "600"))
     moves = int(os.environ.get("BENCH_MOVES", "8"))
-    # experiment knobs (unset = the MCTSConfig production defaults)
+    # experiment knobs (unset = the flagship self-play production defaults:
+    # max_depth=24 matches experiments/connect_four.py — ablation-validated
+    # strength-neutral, 736 -> 830 samples/s; BENCH_MAX_DEPTH=0 disables)
     knobs = {}
     if "BENCH_UPDATE" in os.environ:
         knobs["update"] = os.environ["BENCH_UPDATE"]
-    if int(os.environ.get("BENCH_MAX_DEPTH", "0")):
-        knobs["max_depth"] = int(os.environ["BENCH_MAX_DEPTH"])
+    md = int(os.environ.get("BENCH_MAX_DEPTH", "24"))
+    if md:
+        knobs["max_depth"] = md
     if "BENCH_STAGES" in os.environ:
         knobs["stages"] = int(os.environ["BENCH_STAGES"])
 

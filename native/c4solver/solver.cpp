@@ -21,6 +21,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <cstdlib>
 
 namespace {
 
@@ -147,8 +148,18 @@ struct TT {
 // and alpha-beta fail bounds are sound independently of the search window
 // that produced them, so reuse across calls/narrowing passes is safe and
 // makes e.g. `c4_solve_moves` (7 sibling solves) share most of its work.
-TT g_upper{23};  // fail-low results: true score <= stored
-TT g_lower{23};  // fail-high results: true score >= stored
+// Sized for the Pons benchmark's near-root weak solves (billions of nodes;
+// a small table thrashes): 2 x 2^27 entries x 8 B = 2 GiB.  Override the
+// log2 size with C4SOLVER_TT_LOG2 before the first solve.
+static size_t tt_log2() {
+  if (const char* env = std::getenv("C4SOLVER_TT_LOG2")) {
+    int v = std::atoi(env);
+    if (v >= 10 && v <= 32) return (size_t)v;
+  }
+  return 27;
+}
+TT g_upper{tt_log2()};  // fail-low results: true score <= stored
+TT g_lower{tt_log2()};  // fail-high results: true score >= stored
 
 struct Solver {
   TT& tt = g_upper;

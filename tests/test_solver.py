@@ -144,3 +144,44 @@ def test_move_values_consistent_with_solve():
         score = solver.solve(moves)
         best = max(v for v in vals if v is not None)
         assert best == score, (moves, vals, score)
+
+
+def test_pons_dataset_scores_match_solver():
+    """The shipped Pons ``Test_L*_R*`` files carry exact scores; the in-repo
+    solver must reproduce them (exact on easy buckets, sign on medium)."""
+    from alphazero_tpu.scripts.pons_benchmark import load_benchmarks
+    benches = load_benchmarks()
+    assert len(benches) == 6
+    assert [f"{b.stage[0]}{b.difficulty[0]}" for b in benches] == \
+        ["be", "me", "ee", "bm", "mm", "bh"]
+    assert all(len(b.entries) == 1000 for b in benches)
+    for b in benches:
+        if b.difficulty == "hard":
+            continue  # minutes per position without an opening book
+        step = 211 if b.difficulty == "easy" else 499
+        for mstr, score in b.entries[::step]:
+            if b.difficulty == "easy":
+                assert solver.solve(mstr) == score, (mstr, score)
+            else:
+                got = solver.solve(mstr, weak=True)
+                assert np.sign(got) == np.sign(score), (mstr, score, got)
+
+
+def test_pons_mistake_scoring():
+    """``score_moves``/``SolveCache`` semantics: an optimal move scores 0
+    mistakes, a blunder scores 1; budget-exceeded positions are skipped."""
+    from alphazero_tpu.scripts import pons_benchmark as PB
+    cache = PB.SolveCache(path="")
+    # position "444444" is unplayable (column full): use a simple known one.
+    # After "44" (both center), playing center again is optimal for white.
+    entries = [("4455", solver.solve("4455"))]
+    bench = PB.Bench("end", "easy", entries)
+    opt = solver.optimal_moves("4455")[0]
+    bad = next(c for c in range(7)
+               if c != opt and solver.move_values("4455")[c] is not None
+               and np.sign(solver.move_values("4455")[c])
+               != np.sign(solver.solve("4455")))
+    errs = PB.score_moves("t", {"end/easy": [opt]}, [bench], cache)
+    assert errs == [0.0]
+    errs = PB.score_moves("t", {"end/easy": [bad]}, [bench], cache)
+    assert errs == [1.0]
