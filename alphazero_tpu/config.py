@@ -144,16 +144,38 @@ def necessary_samples(eps: float, beta: float) -> float:
 
 
 def check_params(game, p: Params) -> Tuple[list, list]:
-    """Static consistency checks (``src/params.jl:361-384``)."""
+    """Static consistency checks (``src/params.jl:361-384``, extended:
+    the reference validates worker/batch sizing and flip symmetries; the
+    TPU design adds symmetry-augmentation, gating-threshold, outcome and
+    ring-capacity checks)."""
     errors, warnings = [], []
+    mctss = [p.self_play.mcts] + ([p.arena.mcts] if p.arena else [])
     sims = [p.self_play.sim] + ([p.arena.sim] if p.arena else [])
     # the runtime flip path gates on random_symmetry (selfplay.py/arena.py),
     # not symmetrize — validate the field that is actually consulted
     if (any(s.flip_probability != 0 for s in sims)
             and game.random_symmetry is None):
         errors.append("flip_probability > 0 requires game.random_symmetry")
+    if p.use_symmetries and (game.symmetrize is None
+                             or not game.num_symmetries):
+        errors.append("use_symmetries requires game.symmetrize")
     if any(s.num_lanes > s.num_games for s in sims):
         warnings.append("num_lanes > num_games: lanes will be wasted")
+    if any(not (0 < m.num_iters_per_turn) for m in mctss):
+        errors.append("num_iters_per_turn must be positive")
+    if any(m.algorithm not in ("puct", "gumbel") for m in mctss):
+        errors.append("mcts.algorithm must be 'puct' or 'gumbel'")
+    if any(not (0.0 <= m.dirichlet_noise_eps <= 1.0) for m in mctss):
+        errors.append("dirichlet_noise_eps must lie in [0, 1]")
+    if any(not (0.0 <= m.gamma <= 1.0) for m in mctss):
+        errors.append("mcts.gamma must lie in [0, 1]")
+    if p.arena is not None and game.two_players and not (
+            -1.0 <= p.arena.update_threshold <= 1.0):
+        errors.append("arena.update_threshold must lie in [-1, 1] for"
+                      " two-player games")
+    if p.ternary_outcome and any(m.gamma != 1.0 for m in mctss):
+        warnings.append("ternary_outcome expects undiscounted +-1/0"
+                        " rewards; gamma < 1 will misclassify outcomes")
     if p.learning.batch_size > p.mem_buffer_size(0):
         warnings.append("learning batch_size exceeds initial memory size")
     sp = p.self_play.sim
