@@ -128,6 +128,12 @@ class MCTSConfig:
     # while the MXU eats the one-hot contraction; flagship bench 427 ->
     # 585 samples/s.  Default dense.
     update: str = "dense"
+    # Descent row-lookup formulation: "take" = XLA gather (one per slab per
+    # step of the pointer chase); "onehot" = masked one-hot reduction over
+    # the node axis (VPU elementwise + reduce, no gather op).  Bit-identical
+    # results; which wins is a latency question (the descent is a serial
+    # chain of these lookups), so it is measurable via BENCH_GATHER.
+    gather: str = "take"
 
 
 class Tree(NamedTuple):
@@ -273,6 +279,16 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
     N, B = tree.meta.shape[:2]
     A = num_actions
     ap = tree.prior_legal.shape[-1] // 2
+    if cfg.gather == "onehot":
+        iota_n = jnp.arange(N)
+
+        def slab_gather(x, idx):
+            # masked reduction over the node axis: no gather op in the
+            # serial descent chain (cost O(N*W) VPU work per step)
+            oh = (iota_n[:, None] == idx[None, :]).astype(x.dtype)
+            return jnp.einsum("nb,nbw->bw", oh, x)
+    else:
+        slab_gather = _slab_gather
     init = _SelectState(
         cur=jnp.zeros((B,), jnp.int32),
         cur_player=tree.meta[0, :, _PLAYER],
@@ -292,8 +308,8 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
         return jnp.any(~s.done) & (s.d < max_depth)
 
     def body(s):
-        stats = _slab_gather(tree.stats, s.cur)         # [B, 3*ap]
-        pl = _slab_gather(tree.prior_legal, s.cur)      # [B, 2*ap]
+        stats = slab_gather(tree.stats, s.cur)          # [B, 3*ap]
+        pl = slab_gather(tree.prior_legal, s.cur)       # [B, 2*ap]
         qsum = stats[:, :A]
         nvis = stats[:, ap:ap + A]
         childp1 = stats[:, 2 * ap:2 * ap + A]
@@ -332,7 +348,7 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
         needs_expand = active & (child < 0)
         expand_parent = jnp.where(needs_expand, s.cur, s.expand_parent)
         expand_action = jnp.where(needs_expand, action, s.expand_action)
-        child_meta = _slab_gather(tree.meta, jnp.maximum(child, 0))
+        child_meta = slab_gather(tree.meta, jnp.maximum(child, 0))
         child_terminal = child_meta[:, _TERMINAL] > 0.5
         # per-edge backprop inputs; the expansion edge (child not yet in the
         # tree) keeps the neutral (0, 1) placeholder, fixed up post-expand

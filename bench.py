@@ -35,6 +35,8 @@ def main():
         knobs["max_depth"] = md
     if "BENCH_STAGES" in os.environ:
         knobs["stages"] = int(os.environ["BENCH_STAGES"])
+    if "BENCH_GATHER" in os.environ:
+        knobs["gather"] = os.environ["BENCH_GATHER"]
 
     from alphazero_tpu.envs import registry
     from alphazero_tpu.models import ResNetSpec

@@ -359,3 +359,26 @@ def test_parity_intermediate_rewards(gamma):
     np.testing.assert_array_equal(np.asarray(res.root_visits)[0], ref.root.N)
     refq = ref.root.W / np.maximum(ref.root.N, 1)
     np.testing.assert_allclose(np.asarray(res.root_q)[0], refq, atol=1e-5)
+
+
+def test_onehot_gather_is_bit_identical():
+    """``MCTSConfig.gather="onehot"`` (masked-reduction row lookup) must
+    produce bit-identical search results to the XLA-gather path."""
+    from alphazero_tpu.envs import registry
+    from alphazero_tpu.search import mcts as M
+    game = registry()["connect-four"]
+    s0 = game.init_batch(16, jax.random.key(5))
+    oracle = M.random_oracle(game)
+    outs = []
+    for gather in ("take", "onehot"):
+        cfg = M.MCTSConfig(num_sims=48, cpuct=2.0, dirichlet_eps=0.25,
+                           gather=gather)
+        res = jax.jit(lambda s, k: M.search(game, oracle, s, k, cfg))(
+            s0, jax.random.key(6))
+        outs.append(res)
+    np.testing.assert_array_equal(np.asarray(outs[0].root_visits),
+                                  np.asarray(outs[1].root_visits))
+    np.testing.assert_array_equal(np.asarray(outs[0].policy),
+                                  np.asarray(outs[1].policy))
+    np.testing.assert_array_equal(np.asarray(outs[0].tree.stats),
+                                  np.asarray(outs[1].tree.stats))
