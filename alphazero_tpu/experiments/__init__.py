@@ -39,6 +39,11 @@ def registry():
         exps.append(grid_world.experiment())
     except ImportError:
         pass
+    try:
+        from . import ospiel_ttt
+        exps.append(ospiel_ttt.experiment())
+    except ImportError:  # pyspiel is optional (lazy, like the reference)
+        pass
     return {e.name: e for e in exps}
 
 

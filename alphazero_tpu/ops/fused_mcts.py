@@ -19,6 +19,24 @@ scatter inside a Mosaic kernel needs scalar-prefetch machinery; candidate for
 a future iteration).
 
 Validated bit-for-bit against the XLA path in tests/test_fused_mcts.py.
+
+STATUS — measured break-even at flagship sizes, and WHY (the roofline):
+each launch re-stages every slab block through VMEM, costing
+``N*(3ap+2ap+8)*4 B`` of HBM reads per lane-block per SIM — at N=601,
+B=1024 that is ~118 MB/sim ≈ 0.24 ms of pure traffic at the chip's
+measured ~500 GB/s, PLUS ~N*W*LB/VPU-width cycles per descent step for the
+one-hot reductions, together ≈ the ~1 ms the XLA pointer chase costs.  The
+slabs cannot stay VMEM-resident across simulations because the network
+oracle (an XLA program) runs between descents, and per-lane dynamic row
+indexing (a true in-VMEM gather) is not expressible on the lane dimension
+in Mosaic.  The kernel therefore wins only where the slab working set is
+small (N ≲ 150, e.g. gumbel-at-150 tree sizes) — at 600-sim flagship trees
+the tuned XLA path (staged growth + depth cap + in-descent edge recording
++ MXU dense update) is the production configuration.  The same economics
+apply to the lanes-minor tree layout the kernel needs, so it is kept as a
+validated experiment rather than wired into ``search/mcts.py`` (whose
+``MCTSConfig.gather="onehot"`` option provides the kernel's lookup
+formulation inside the XLA loop for direct A/B measurement).
 """
 
 from __future__ import annotations
