@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--no-supervise", action="store_true",
                     help="run in-process without the restart supervisor")
     ap.add_argument("--max-restarts", type=int, default=8)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="SPMD over an N-device mesh (0 = single device; "
+                         "-1 = all visible devices)")
     args = ap.parse_args(argv)
 
     if not args.no_supervise:
@@ -88,8 +91,16 @@ def main(argv=None):
                             num_iters=args.iters)
     exp = dataclasses.replace(exp, params=p)
 
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.mesh if args.mesh > 0
+                         else len(jax.devices()))
+
     session = Session(exp, dir=args.dir, seed=args.seed,
-                      benchmark_every=args.benchmark_every)
+                      benchmark_every=args.benchmark_every, mesh=mesh)
     session.resume()
 
 

@@ -41,9 +41,20 @@ from ..models.interface import NetState, Network, NetworkSpec
 from .log import Logger
 
 
+def _to_host(x) -> np.ndarray:
+    """Fetch an array to host memory.  Under a multi-host runtime a
+    ``data``-sharded array is not fully addressable from any one process;
+    gather it first so every host writes a complete checkpoint (the
+    bandwidth is trivial at replay-buffer scale)."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def save_pytree(path: str, tree) -> None:
     leaves = jax.tree.leaves(tree)
-    np.savez(path, **{f"l{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    np.savez(path, **{f"l{i}": _to_host(x) for i, x in enumerate(leaves)})
 
 
 def load_pytree(path: str, template):
