@@ -257,7 +257,8 @@ def score_moves(name, moves_by_bucket, benches, cache: SolveCache,
         errs.append(err)
         skip_note = f", {n_skip} over budget" if n_skip else ""
         log(f"  ({b.stage}, {b.difficulty}): {100 * err:.2f}%  "
-            f"[{n_scored} scored{skip_note}, {time.time() - t0:.0f}s]")
+            f"[{n_scored} scored{skip_note}, {time.time() - t0:.0f}s]",
+            flush=True)
         cache.save()
     return errs
 
@@ -374,11 +375,22 @@ def main(argv=None):
     # ---- phase 2: solver scoring (CPU-bound) ----------------------------
     if args.phase in ("all", "solve"):
         cache = SolveCache(args.cache)
+        out = args.out or os.path.join(args.session_dir,
+                                       "pons-benchmark-results.json")
+
+        def dump():  # incremental: partial sweeps survive interruption
+            payload = dict(results)
+            payload["buckets"] = [f"{b.stage}/{b.difficulty}"
+                                  for b in benches]
+            payload["node_limit"] = args.node_limit
+            with open(out, "w") as f:
+                json.dump(payload, f, indent=2)
+
         for name, kind, it in agents:
             if name not in moves_store:
                 print(f"(no stored moves for {name}; run --phase think)")
                 continue
-            print(f"Scoring: {name}")
+            print(f"Scoring: {name}", flush=True)
             errs = score_moves(name, moves_store[name], benches, cache,
                                args.node_limit)
             if name == "minmax":
@@ -387,14 +399,7 @@ def main(argv=None):
                 results["alphazero"] = errs
             else:
                 results["alphazero_training"].append((it, errs))
-
-        out = args.out or os.path.join(args.session_dir,
-                                       "pons-benchmark-results.json")
-        payload = dict(results)
-        payload["buckets"] = [f"{b.stage}/{b.difficulty}" for b in benches]
-        payload["node_limit"] = args.node_limit
-        with open(out, "w") as f:
-            json.dump(payload, f, indent=2)
+            dump()
         print(f"results -> {out}")
         if len(benches) == 6:
             png = out.rsplit(".", 1)[0] + ".png"
