@@ -232,3 +232,45 @@ def test_dispatch_watchdog():
     assert fired == []
     assert WD.first_call_timeout(None) is None
     assert WD.first_call_timeout(900.0) == 3600.0
+
+
+def test_player_spec_coverage():
+    """Every stock player spec (``src/benchmark.jl:126-194`` +
+    ``EpsilonGreedyPlayer``/``PlayerWithTemperature``, ``src/play.jl``)
+    produces a valid batched think distribution."""
+    from alphazero_tpu import arena as A
+    from alphazero_tpu.config import MctsParams
+    from alphazero_tpu.envs import registry
+    from alphazero_tpu.models import SimpleNetSpec
+    from alphazero_tpu.models.interface import Network
+
+    game = registry()["tictactoe"]
+    spec = SimpleNetSpec(width=16, depth_common=1)
+    net = Network(game, spec).init(jax.random.key(0))
+    mp = MctsParams(num_iters_per_turn=8)
+    states = game.init_batch(4, jax.random.key(1))
+    mask = np.asarray(jax.vmap(game.legal_mask)(states))
+    players = [
+        A.Full(mp),
+        A.NetworkOnly(tau=0.5),          # PlayerWithTemperature role
+        A.MctsRollouts(mp),
+        A.MinMaxTS(depth=2, tau=0.2),
+        A.RandomPlayerSpec(),
+        A.EpsilonGreedy(A.NetworkOnly(), eps=0.3),
+    ]
+    for p in players:
+        think, uses_net = p.make_think(game, spec)
+        pi = np.asarray(jax.jit(think)(net, states, 0, jax.random.key(2)))
+        assert pi.shape == (4, game.num_actions), type(p).__name__
+        np.testing.assert_allclose(pi.sum(-1), 1.0, atol=1e-4,
+                                   err_msg=type(p).__name__)
+        assert (pi[~mask] < 1e-6).all(), type(p).__name__
+    # epsilon-greedy actually mixes toward uniform
+    base, _ = A.NetworkOnly(tau=0.0).make_think(game, spec)
+    mixed, _ = A.EpsilonGreedy(A.NetworkOnly(tau=0.0),
+                               eps=1.0).make_think(game, spec)
+    pm = np.asarray(mixed(net, states, 0, jax.random.key(3)))
+    legal_counts = mask.sum(-1, keepdims=True)
+    np.testing.assert_allclose(pm[mask], (1.0 / legal_counts
+                                          * np.ones_like(pm))[mask],
+                               atol=1e-5)
