@@ -100,6 +100,30 @@ def put_replicated(mesh: Optional[Mesh], tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def put_params_model_sharded(mesh: Mesh, net):
+    """Tensor-parallel parameter placement: shard every kernel's OUTPUT-
+    channel dimension (the last axis of conv/dense kernels) over the
+    ``model`` mesh axis; biases/scales shard on their only axis; leaves
+    that do not divide evenly stay replicated.
+
+    With parameters committed this way, GSPMD propagates the channel
+    sharding through the forward/backward pass (activations become
+    channel-sharded between layers and XLA inserts the all-reduces where
+    layers contract over channels) — no model code changes.  The
+    reference-scale nets (1.6M params) never need this; it exists so the
+    same framework scales to networks that do not fit one chip.
+    """
+    n = mesh.shape["model"]
+
+    def one(x):
+        if x.ndim >= 1 and x.shape[-1] % n == 0 and x.shape[-1] >= n > 1:
+            spec = [None] * (x.ndim - 1) + ["model"]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(one, net)
+
+
 def put_data_sharded(mesh: Optional[Mesh], tree, axis: int = 0):
     """Commit a pytree to the mesh, sharded along ``axis`` over ``data``
     (leaves that cannot shard evenly are replicated)."""
