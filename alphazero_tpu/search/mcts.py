@@ -246,8 +246,9 @@ def init_tree(game: Game, cfg: MCTSConfig, roots, root_p, root_v,
 
 class _SelectState(NamedTuple):
     cur: jnp.ndarray            # i32 [B] current node during descent
-    cur_player: jnp.ndarray     # f32 [B] player to move at `cur`
-    cur_terminal: jnp.ndarray   # bool [B] current node is terminal
+    cur_player: jnp.ndarray     # f32 [B] player at the node `cur` was
+    #                                 reached FROM (the pending edge's parent)
+    edge_moved: jnp.ndarray     # bool [B] an edge into `cur` awaits r/f
     done: jnp.ndarray           # bool [B] descent finished
     expand_parent: jnp.ndarray  # i32 [B] parent of expansion edge (-1: none)
     expand_action: jnp.ndarray  # i32 [B]
@@ -271,10 +272,20 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
 
     Per-edge backprop inputs (reward from the parent's POV and the
     player-switch sign factor, ``src/mcts.jl:214-221``) are recorded
-    *during* the descent from the child meta row that the walk gathers
-    anyway — the expansion edge, whose child does not exist yet, is filled
-    in by the caller after :func:`expand`.  This saves two whole-path meta
-    gathers per simulation versus recomputing them post-hoc.
+    *during* the descent — the expansion edge, whose child does not exist
+    yet, is filled in by the caller after :func:`expand`.  This saves two
+    whole-path meta gathers per simulation versus recomputing them post-hoc.
+
+    Latency structure: the loop body performs exactly ONE serial row lookup
+    (all three slabs at ``cur``, issued in parallel) followed by the argmax
+    and child-pointer read.  The edge INTO ``cur`` is therefore recorded one
+    iteration late, from the meta row gathered at the top of the next
+    iteration (terminal detection shifts likewise); the final pending edge
+    of lanes still walking at loop exit (depth-capped, or terminal reached
+    on the last permitted iteration) is fixed up by one post-loop gather.
+    The previous formulation gathered the CHILD's meta inside the body —
+    two chained gathers per iteration — and the serial descent dominates
+    flagship self-play cost, so halving the chain is a direct win.
     """
     N, B = tree.meta.shape[:2]
     A = num_actions
@@ -292,7 +303,7 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
     init = _SelectState(
         cur=jnp.zeros((B,), jnp.int32),
         cur_player=tree.meta[0, :, _PLAYER],
-        cur_terminal=tree.meta[0, :, _TERMINAL] > 0.5,
+        edge_moved=jnp.zeros((B,), bool),
         done=tree.meta[0, :, _TERMINAL] > 0.5,
         expand_parent=jnp.full((B,), -1, jnp.int32),
         expand_action=jnp.zeros((B,), jnp.int32),
@@ -304,12 +315,33 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
         d=jnp.zeros((), jnp.int32),
     )
 
+    def edge_rf(parent_player, meta_cur):
+        """Backprop inputs of the edge into the row ``meta_cur``: reward
+        from the parent's POV and the player-switch sign factor
+        (``src/mcts.jl:214-221``)."""
+        r_white = meta_cur[:, _REWARD]
+        r = jnp.where(parent_player == envcore.WHITE, r_white, -r_white)
+        f = jnp.where(parent_player == meta_cur[:, _PLAYER], 1.0, -1.0)
+        return r, f
+
     def cond(s):
         return jnp.any(~s.done) & (s.d < max_depth)
 
     def body(s):
         stats = slab_gather(tree.stats, s.cur)          # [B, 3*ap]
         pl = slab_gather(tree.prior_legal, s.cur)       # [B, 2*ap]
+        meta_cur = slab_gather(tree.meta, s.cur)        # [B, 8]
+        # record the edge traversed LAST iteration (into `cur`), now that
+        # cur's meta row is in hand; placeholder (0, 1) written elsewhere
+        # (slot s.d-1 is placeholder-valued for every non-moved lane)
+        r_prev, f_prev = edge_rf(s.cur_player, meta_cur)
+        dm1 = jnp.maximum(s.d - 1, 0)   # s.d == 0 writes (0, 1) over init
+        path_r = jax.lax.dynamic_update_slice(
+            s.path_r, jnp.where(s.edge_moved, r_prev, 0.0)[:, None], (0, dm1))
+        path_f = jax.lax.dynamic_update_slice(
+            s.path_f, jnp.where(s.edge_moved, f_prev, 1.0)[:, None], (0, dm1))
+        done = s.done | (s.edge_moved & (meta_cur[:, _TERMINAL] > 0.5))
+        active = ~done
         qsum = stats[:, :A]
         nvis = stats[:, ap:ap + A]
         childp1 = stats[:, 2 * ap:2 * ap + A]
@@ -327,16 +359,15 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
                                q + cfg.cpuct * p * sqrt_ntot / (nvis + 1.0),
                                NEG_INF)
         else:
-            value = _slab_gather(tree.meta, s.cur)[:, _VALUE]
             scores = jnp.where(legal,
-                               nonroot_scores(p, legal, qsum, nvis, value),
+                               nonroot_scores(p, legal, qsum, nvis,
+                                              meta_cur[:, _VALUE]),
                                NEG_INF)
         action = jnp.argmax(scores, -1).astype(jnp.int32)
         if root_action is not None:
             action = jnp.where(s.cur == 0, root_action, action)
         child = (jnp.take_along_axis(childp1, action[:, None], 1)[:, 0]
                  ).astype(jnp.int32) - 1
-        active = ~s.done
         # record the traversed edge (including the expansion edge); active
         # lanes all sit at depth == loop counter, so this is an in-place
         # dynamic_update_slice, not a scatter
@@ -348,28 +379,28 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
         needs_expand = active & (child < 0)
         expand_parent = jnp.where(needs_expand, s.cur, s.expand_parent)
         expand_action = jnp.where(needs_expand, action, s.expand_action)
-        child_meta = slab_gather(tree.meta, jnp.maximum(child, 0))
-        child_terminal = child_meta[:, _TERMINAL] > 0.5
-        # per-edge backprop inputs; the expansion edge (child not yet in the
-        # tree) keeps the neutral (0, 1) placeholder, fixed up post-expand
-        edge_known = active & ~needs_expand
-        r_white = child_meta[:, _REWARD]
-        r = jnp.where(s.cur_player == envcore.WHITE, r_white, -r_white)
-        f = jnp.where(s.cur_player == child_meta[:, _PLAYER], 1.0, -1.0)
-        path_r = jax.lax.dynamic_update_slice(
-            s.path_r, jnp.where(edge_known, r, 0.0)[:, None], (0, s.d))
-        path_f = jax.lax.dynamic_update_slice(
-            s.path_f, jnp.where(edge_known, f, 1.0)[:, None], (0, s.d))
-        done = s.done | needs_expand | (active & child_terminal)
-        cur = jnp.where(edge_known, child, s.cur)
-        cur_player = jnp.where(edge_known, child_meta[:, _PLAYER],
-                               s.cur_player)
-        cur_terminal = jnp.where(edge_known, child_terminal, s.cur_terminal)
-        return _SelectState(cur, cur_player, cur_terminal, done,
+        done = done | needs_expand
+        edge_moved = active & ~needs_expand
+        cur = jnp.where(edge_moved, child, s.cur)
+        cur_player = jnp.where(active, meta_cur[:, _PLAYER], s.cur_player)
+        return _SelectState(cur, cur_player, edge_moved, done,
                             expand_parent, expand_action, depth, path_nodes,
                             path_actions, path_r, path_f, s.d + 1)
 
-    return jax.lax.while_loop(cond, body, init)
+    s = jax.lax.while_loop(cond, body, init)
+    # lanes still walking at loop exit (depth-capped, or a terminal entered
+    # on the final iteration) have the edge into `cur` pending: one fixup
+    # gather records its r/f and classifies terminal arrivals as done (so
+    # the caller's depth-cap leaf value only applies to true cap hits)
+    pending = ~s.done
+    meta_fix = _slab_gather(tree.meta, s.cur)
+    r_fix, f_fix = edge_rf(s.cur_player, meta_fix)
+    at_last = jnp.arange(max_depth)[None, :] == (s.depth - 1)[:, None]
+    write = at_last & pending[:, None]
+    path_r = jnp.where(write, r_fix[:, None], s.path_r)
+    path_f = jnp.where(write, f_fix[:, None], s.path_f)
+    done = s.done | (pending & (meta_fix[:, _TERMINAL] > 0.5))
+    return s._replace(path_r=path_r, path_f=path_f, done=done)
 
 
 def _q_chain(r, f, depth, leaf_value, gamma: float, D: int):
