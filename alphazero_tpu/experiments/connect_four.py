@@ -29,11 +29,11 @@ def experiment(num_lanes: int = 1024) -> Experiment:
             num_iters_per_turn=600, cpuct=2.0, prior_temperature=1.0,
             temperature=PLSchedule([0, 20, 30], [1.0, 1.0, 0.3]),
             dirichlet_noise_eps=0.25, dirichlet_noise_alpha=1.0,
-            # mctx-style descent-depth cap for SELF-PLAY only: 736 -> 830
-            # samples/s on the chip, strength-neutral at equal 600-sim
-            # budget (+0.031 avgr, 118/28/110 over 256 games,
-            # scripts/ablations.py --ablation depth; re-validated round 2)
-            max_depth=24))
+            # mctx-style descent-depth cap for SELF-PLAY only; 16 is
+            # strength-neutral at equal 600-sim budget (+0.023 avgr,
+            # 117/28/111 over 256 games; md20 +0.031, md24 +0.031 —
+            # scripts/ablations.py --ablation depth, trained flagship net)
+            max_depth=16))
     arena = ArenaParams(
         sim=SimParams(num_games=128, num_lanes=128, flip_probability=0.5,
                       alternate_colors=True),

@@ -132,8 +132,14 @@ class MCTSConfig:
     # step of the pointer chase); "onehot" = masked one-hot reduction over
     # the node axis (VPU elementwise + reduce, no gather op).  Bit-identical
     # results; which wins is a latency question (the descent is a serial
-    # chain of these lookups), so it is measurable via BENCH_GATHER.
-    gather: str = "take"
+    # chain of these lookups).  Measured on the chip at flagship shapes
+    # (B=1024, 600 sims, ResNet-5x128 bf16 oracle): the XLA gather op costs
+    # ~40 us of fixed latency per descent step while the one-hot masked
+    # reduction streams the (staged) slabs at HBM rate, winning ~22% of
+    # END-TO-END self-play throughput at both shallow and deep game stages
+    # (842 -> 1027 samples/s over opening moves, 679 -> 827 over 24 moves,
+    # BENCH_GATHER A/B).  Default onehot.
+    gather: str = "onehot"
 
 
 class Tree(NamedTuple):

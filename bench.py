@@ -25,12 +25,13 @@ def main():
     num_sims = int(os.environ.get("BENCH_SIMS", "600"))
     moves = int(os.environ.get("BENCH_MOVES", "8"))
     # experiment knobs (unset = the flagship self-play production defaults:
-    # max_depth=24 matches experiments/connect_four.py — ablation-validated
-    # strength-neutral, 736 -> 830 samples/s; BENCH_MAX_DEPTH=0 disables)
+    # max_depth=16 matches experiments/connect_four.py — ablation-validated
+    # strength-neutral; with the one-hot descent lookup (MCTSConfig.gather
+    # default) 830 -> 1027 samples/s; BENCH_MAX_DEPTH=0 disables)
     knobs = {}
     if "BENCH_UPDATE" in os.environ:
         knobs["update"] = os.environ["BENCH_UPDATE"]
-    md = int(os.environ.get("BENCH_MAX_DEPTH", "24"))
+    md = int(os.environ.get("BENCH_MAX_DEPTH", "16"))
     if md:
         knobs["max_depth"] = md
     if "BENCH_STAGES" in os.environ:
