@@ -20,23 +20,28 @@ a future iteration).
 
 Validated bit-for-bit against the XLA path in tests/test_fused_mcts.py.
 
-STATUS — measured break-even at flagship sizes, and WHY (the roofline):
-each launch re-stages every slab block through VMEM, costing
-``N*(3ap+2ap+8)*4 B`` of HBM reads per lane-block per SIM — at N=601,
-B=1024 that is ~118 MB/sim ≈ 0.24 ms of pure traffic at the chip's
-measured ~500 GB/s, PLUS ~N*W*LB/VPU-width cycles per descent step for the
-one-hot reductions, together ≈ the ~1 ms the XLA pointer chase costs.  The
-slabs cannot stay VMEM-resident across simulations because the network
-oracle (an XLA program) runs between descents, and per-lane dynamic row
-indexing (a true in-VMEM gather) is not expressible on the lane dimension
-in Mosaic.  The kernel therefore wins only where the slab working set is
-small (N ≲ 150, e.g. gumbel-at-150 tree sizes) — at 600-sim flagship trees
-the tuned XLA path (staged growth + depth cap + in-descent edge recording
-+ MXU dense update) is the production configuration.  The same economics
-apply to the lanes-minor tree layout the kernel needs, so it is kept as a
-validated experiment rather than wired into ``search/mcts.py`` (whose
-``MCTSConfig.gather="onehot"`` option provides the kernel's lookup
-formulation inside the XLA loop for direct A/B measurement).
+STATUS — measured break-even at flagship sizes in round 1, and the
+round-2 re-analysis after ``MCTSConfig.gather="onehot"`` became the
+production default (830 → 1027 samples/s: the kernel's own lookup
+formulation, hoisted into the XLA loop, beat the XLA gather's ~40 us/step
+fixed latency).  Revised economics vs that new baseline:
+
+* XLA one-hot descent: every step re-streams the staged slabs from HBM —
+  ~66 MB/step at average staged capacity, ~6-16 steps/sim.
+* this kernel: ONE slab pass per sim (~0.15 ms at N=601/B=1024) staged
+  into VMEM, then per-step one-hot reductions at VPU rate (~15 us/step).
+
+Projected gain ≈ 0.2-0.3 ms/sim ⇒ ~1200 samples/s end-to-end, BUT the
+kernel requires the lanes-minor ``[N, W, B]`` slab layout while the
+production tree is ``[N, B, W]``; a per-sim transpose costs ~0.2 ms and
+erases the win.  Landing it therefore means flipping the whole tree
+layout (expansion DUS writes stay major-axis-contiguous in ``[N, W, B]``,
+so this is plausible — it is the backlog's designed next step, touching
+``_slab_gather``/``init_tree``/``expand``/``apply_update_dense``/
+``advance_root`` with the existing bit-parity suite as the net).  Until
+that lands the kernel stays a bit-validated experiment
+(tests/test_fused_mcts.py), with the one-hot lookup already productionized
+on the XLA side.
 """
 
 from __future__ import annotations

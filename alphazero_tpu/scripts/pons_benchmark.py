@@ -235,10 +235,12 @@ def think_player(name, think, benches, game, lanes: int,
 
 
 def score_moves(name, moves_by_bucket, benches, cache: SolveCache,
-                node_limit: int = 0, log=print) -> List[float]:
+                node_limit: int = 0, log=print, on_bucket=None) -> List[float]:
     """Phase 2 (CPU): error rate per bucket (``test_player``,
     ``pons_benchmark.jl:135-145``).  Positions whose child solve exceeds
-    ``node_limit`` are reported as skipped and excluded from the rate."""
+    ``node_limit`` are reported as skipped and excluded from the rate.
+    ``on_bucket(errs_so_far)`` fires after each bucket so long sweeps dump
+    partial results incrementally."""
     errs = []
     for b in benches:
         bkey = f"{b.stage}/{b.difficulty}"
@@ -260,6 +262,8 @@ def score_moves(name, moves_by_bucket, benches, cache: SolveCache,
             f"[{n_scored} scored{skip_note}, {time.time() - t0:.0f}s]",
             flush=True)
         cache.save()
+        if on_bucket is not None:
+            on_bucket(list(errs))
     return errs
 
 
@@ -275,14 +279,14 @@ def plot_results(results: dict, benches, out_png: str):
     for n, b in enumerate(benches):
         ax = axes[n // 2][n % 2]
         title = f"{b.stage.capitalize()} - {b.difficulty.capitalize()}"
-        if azt:
-            xs = [itc for itc, _ in azt]
-            ys = [100 * errs[n] for _, errs in azt]
-            ax.plot(xs, ys, marker="o", ms=3)
-        if results.get("alphazero"):
+        pts = [(itc, errs[n]) for itc, errs in azt if n < len(errs)]
+        if pts:
+            ax.plot([p[0] for p in pts], [100 * p[1] for p in pts],
+                    marker="o", ms=3)
+        if n < len(results.get("alphazero") or []):
             ax.axhline(100 * results["alphazero"][n], color="green",
                        lw=0.8, ls=":", label="final agent")
-        if results.get("minmax"):
+        if n < len(results.get("minmax") or []):
             ax.axhline(100 * results["minmax"][n], color="red", lw=0.8,
                        ls="--", label="minmax-5")
         ax.set_title(title, fontsize=10)
@@ -315,6 +319,10 @@ def main(argv=None):
     ap.add_argument("--node-limit", type=int, default=0,
                     help="per-solve node budget (0 = unlimited); positions "
                          "over budget are reported as skipped")
+    ap.add_argument("--agents", default=None,
+                    help="comma-separated agent order/filter, e.g. "
+                         "'alphazero,minmax' (default: minmax, alphazero, "
+                         "then per-iteration snapshots)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cache", default="sessions/pons_solve_cache.json")
     args = ap.parse_args(argv)
@@ -345,6 +353,10 @@ def main(argv=None):
         if os.path.isdir(os.path.join(args.session_dir, f"iter_{itc}")):
             agents.append((f"iter{itc}", "session", itc))
         itc += args.iter_stride
+    if args.agents:
+        order = args.agents.split(",")
+        by_name = {n: (n, k, i) for n, k, i in agents}
+        agents = [by_name[n] for n in order if n in by_name]
 
     # ---- phase 1: thinks (accelerator-bound) ----------------------------
     if args.phase in ("all", "think"):
@@ -391,15 +403,20 @@ def main(argv=None):
                 print(f"(no stored moves for {name}; run --phase think)")
                 continue
             print(f"Scoring: {name}", flush=True)
+
+            def on_bucket(partial, name=name, it=it):
+                if name == "minmax":
+                    results["minmax"] = partial
+                elif name == "alphazero":
+                    results["alphazero"] = partial
+                else:
+                    results["alphazero_training"] = [
+                        e for e in results["alphazero_training"]
+                        if e[0] != it] + [(it, partial)]
+                dump()
+
             errs = score_moves(name, moves_store[name], benches, cache,
-                               args.node_limit)
-            if name == "minmax":
-                results["minmax"] = errs
-            elif name == "alphazero":
-                results["alphazero"] = errs
-            else:
-                results["alphazero_training"].append((it, errs))
-            dump()
+                               args.node_limit, on_bucket=on_bucket)
         print(f"results -> {out}")
         if len(benches) == 6:
             png = out.rsplit(".", 1)[0] + ".png"

@@ -274,3 +274,26 @@ def test_player_spec_coverage():
     np.testing.assert_allclose(pm[mask], (1.0 / legal_counts
                                           * np.ones_like(pm))[mask],
                                atol=1e-5)
+
+
+def test_rollout_duel_lane_guard():
+    """Oversized rollout-oracle duels are chunked to the bisected safe
+    lane budget (scripts/repro_duel256.py: 1000-sim rollout trees crash
+    the TPU worker at 256 lanes, run at 128); network-search programs
+    and small rollout trees are untouched."""
+    from alphazero_tpu import arena as A
+    from alphazero_tpu.config import MctsParams, SimParams
+
+    full = A.Full(MctsParams(num_iters_per_turn=600))
+    roll1000 = A.MctsRollouts(MctsParams(num_iters_per_turn=1000))
+    roll100 = A.MctsRollouts(MctsParams(num_iters_per_turn=100))
+    sim = SimParams(num_games=256, num_lanes=256)
+
+    guarded = A.rollout_safe_sim(sim, full, roll1000)
+    assert guarded.num_lanes == 128
+    assert guarded.num_rounds == 2  # num_games preserved
+    assert A.rollout_safe_sim(sim, roll1000, roll1000).num_lanes == 128
+    # clean programs pass through unchanged
+    assert A.rollout_safe_sim(sim, full, full).num_lanes == 256
+    assert A.rollout_safe_sim(sim, full, roll100).num_lanes == 256
+    assert A.rollout_safe_sim(sim, full, None).num_lanes == 256
