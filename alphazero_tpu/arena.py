@@ -48,6 +48,11 @@ def mcts_config(p: cfgmod.MctsParams):
             prior_temperature=p.prior_temperature,
             max_depth=p.max_depth,
         )
+    extra = {}
+    if p.stages is not None:
+        extra["stages"] = p.stages
+    if p.gather is not None:
+        extra["gather"] = p.gather
     return mcts.MCTSConfig(
         num_sims=p.num_iters_per_turn,
         gamma=p.gamma,
@@ -58,6 +63,7 @@ def mcts_config(p: cfgmod.MctsParams):
         reuse_tree=p.reuse_tree,
         reuse_cap=p.reuse_cap,
         max_depth=p.max_depth,
+        **extra,
     )
 
 
@@ -352,10 +358,11 @@ def run_benchmark_item(game: Game, netspec: Optional[NetworkSpec],
         res = play_duel(game, netspec, item.player, item.baseline, item.sim,
                         net, net, rng, gamma=gamma, mesh=mesh)
         legend = f"{player_name(item.player)} vs {player_name(item.baseline)}"
-    rewards = np.asarray(res.rewards)
+    from .parallel import to_host
+    rewards = to_host(res.rewards)
     return R.Evaluation(
         legend=legend, avgr=float(rewards.mean()),
-        redundancy=float(res.redundancy),
+        redundancy=float(to_host(res.redundancy)),
         rewards=list(map(float, rewards)), baseline_rewards=None,
         time=_time.perf_counter() - t0)
 
@@ -422,8 +429,12 @@ def play_duel(game: Game, netspec: Optional[NetworkSpec], spec_a: PlayerSpec,
             out = prog(net_a, net_b, sub)
             jax.block_until_ready(out.rewards)
         outs.append(out)
+    # concatenate on HOST: an eager device concatenate over sharded round
+    # outputs becomes an ad-hoc collective (NOTES.md rendezvous deadlocks)
+    # and cannot run at all on multi-process non-addressable arrays
+    from .parallel import to_host
     return DuelResult(
-        rewards=jnp.concatenate([o.rewards for o in outs]),
-        redundancy=jnp.mean(jnp.stack([o.redundancy for o in outs])),
-        num_moves=jnp.concatenate([o.num_moves for o in outs]),
+        rewards=np.concatenate([to_host(o.rewards) for o in outs]),
+        redundancy=np.mean([to_host(o.redundancy) for o in outs]),
+        num_moves=np.concatenate([to_host(o.num_moves) for o in outs]),
     )

@@ -54,6 +54,12 @@ class MctsParams:
     # semantics, depth bounded by game length).  The per-simulation update
     # cost scales with this bound; see MCTSConfig.max_depth
     max_depth: Optional[int] = None
+    # TPU implementation knobs (bit-identical results; None = the measured
+    # MCTSConfig defaults).  Exposed here so experiments can pin the
+    # faster formulation for their tree shapes (see MCTSConfig.stages /
+    # MCTSConfig.gather and NOTES.md for the measurements)
+    stages: Optional[int] = None
+    gather: Optional[str] = None
 
     def replace(self, **kw) -> "MctsParams":
         return dataclasses.replace(self, **kw)

@@ -43,7 +43,7 @@ def _windows() -> np.ndarray:
     return np.asarray(wins, np.int32)
 
 
-WINDOWS = jnp.asarray(_windows())  # [69, 4, 2]
+WINDOWS = np.asarray(_windows())  # [69, 4, 2] (numpy: no backend init at import)
 _WROWS, _WCOLS = WINDOWS[..., 0], WINDOWS[..., 1]
 
 

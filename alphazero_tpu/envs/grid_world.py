@@ -29,9 +29,9 @@ REWARD_CELLS = np.asarray([[8, 2], [7, 7], [3, 2], [3, 5]], np.int32)
 REWARD_VALUES = np.asarray([10.0, 3.0, -10.0, -5.0], np.float32)
 
 # actions: right, left, up, down (``game.jl:37``)
-MOVES = jnp.asarray([[1, 0], [-1, 0], [0, 1], [0, -1]], jnp.int32)
-_RCELLS = jnp.asarray(REWARD_CELLS)
-_RVALS = jnp.asarray(REWARD_VALUES)
+MOVES = np.asarray([[1, 0], [-1, 0], [0, 1], [0, -1]], np.int32)
+_RCELLS = np.asarray(REWARD_CELLS)
+_RVALS = np.asarray(REWARD_VALUES)
 
 
 class GridState(NamedTuple):
@@ -64,7 +64,7 @@ def _step(s: GridState, action, key) -> GridState:
     k1, k2 = jax.random.split(key)
     random_a = jax.random.randint(k2, (), 0, 4)
     a = jnp.where(jax.random.uniform(k1) < 0.4, random_a, action)
-    pos = jnp.clip(s.pos + MOVES[a], 0, SIZE - 1)
+    pos = jnp.clip(s.pos + jnp.asarray(MOVES)[a], 0, SIZE - 1)
     r, on_reward = _cell_reward(pos)
     time = s.time + 1
     return GridState(pos=pos, time=time,

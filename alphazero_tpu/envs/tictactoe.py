@@ -37,7 +37,7 @@ def _alignments() -> np.ndarray:
     return np.asarray(lines, np.int32)
 
 
-ALIGNMENTS = jnp.asarray(_alignments())
+ALIGNMENTS = np.asarray(_alignments())
 
 
 def _dihedral_perms() -> np.ndarray:
@@ -67,7 +67,7 @@ def _dihedral_perms() -> np.ndarray:
     return np.asarray([perm_of(f) for f in fs], np.int32)
 
 
-SYM_PERMS = jnp.asarray(_dihedral_perms())
+SYM_PERMS = np.asarray(_dihedral_perms())
 
 
 class TTTState(NamedTuple):
@@ -152,7 +152,7 @@ def _symmetrize(s: TTTState, pi):
 
 def _random_symmetry(s: TTTState, key):
     k = jax.random.randint(key, (), 0, SYM_PERMS.shape[0])
-    return s._replace(board=s.board[SYM_PERMS[k]])
+    return s._replace(board=s.board[jnp.asarray(SYM_PERMS)[k]])
 
 
 def _render(s) -> str:

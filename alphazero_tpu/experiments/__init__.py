@@ -82,3 +82,20 @@ def dummy_run_experiment(e: Experiment) -> Experiment:
            if hasattr(b, "baseline") else {}))
         for b in e.benchmark]
     return dataclasses.replace(e, params=params, benchmark=tuple(bench))
+
+
+def mesh_smoke_experiment() -> Experiment:
+    """A small-but-shardable tictactoe config (16 lanes, arena on): the
+    shared fixture for the simulated-mesh parity tests (tests/test_parallel)
+    and the 2-process multi-controller smoke (scripts/multiproc_smoke)."""
+    exp = dummy_run_experiment(registry()["tictactoe"])
+    resize = lambda s: s.replace(num_games=16, num_lanes=16)
+    p = exp.params
+    params = dataclasses.replace(
+        p,
+        self_play=dataclasses.replace(p.self_play,
+                                      sim=resize(p.self_play.sim)),
+        arena=dataclasses.replace(p.arena, sim=resize(p.arena.sim)),
+        learning=dataclasses.replace(p.learning, batch_size=16,
+                                     loss_computation_batch_size=16))
+    return dataclasses.replace(exp, params=params, benchmark=())

@@ -60,9 +60,12 @@ def experiment(num_lanes: int = 1024) -> Experiment:
         mem_buffer_granularity=50_000)
     # 128 lanes x 2 rounds: the 256-lane duel program reproducibly kills the
     # TPU worker with a kernel fault (axon tunnel, jax 0.8.x) while 128
-    # lanes are stable; see NOTES.md
+    # lanes are stable; see NOTES.md.  alternate_colors=False matches the
+    # reference's benchmark protocol exactly (the evaluated player always
+    # moves first; ``games/connect-four/params.jl:96-100``) — the gating
+    # arena above keeps alternate_colors=True as the reference's arena does.
     benchmark_sim = SimParams(num_games=256, num_lanes=128,
-                              flip_probability=0.5, alternate_colors=True)
+                              flip_probability=0.5, alternate_colors=False)
     mcts_baseline = A.MctsRollouts(
         arena.mcts.replace(num_iters_per_turn=1000, cpuct=1.0))
     minmax_baseline = A.MinMaxTS(depth=5, amplify_rewards=True, tau=0.2)

@@ -278,11 +278,13 @@ class Trainer:
             Hp=Hp, Hpnet=Hpnet)
 
     def samples_report(self) -> R.Samples:
-        """``learning.jl:182-189``"""
+        """``learning.jl:182-189``.  Reductions over the (possibly sharded)
+        dataset stay inside jit — eager sums over sharded arrays become
+        ad-hoc collectives (NOTES.md) and cannot fetch multi-process."""
         status = self.learning_status()
-        num_samples = int(jnp.sum(self.dataset.n_merged))
+        num_samples = int(jax.jit(jnp.sum)(self.dataset.n_merged))
         return R.Samples(
             num_samples=num_samples,
             num_boards=self.num_samples,
-            Wtot=float(jnp.sum(self.weights)),
+            Wtot=float(jax.jit(jnp.sum)(self.weights)),
             status=status)

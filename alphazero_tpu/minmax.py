@@ -21,11 +21,15 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .envs import core as envcore
 from .envs.core import Game
 
-INF = jnp.float32(jnp.inf)
+# numpy constant: module-level jnp.* would initialize the XLA backend
+# at import time, which breaks jax.distributed.initialize (it must run
+# before any backend use; see parallel/distributed.py)
+INF = np.float32(np.inf)
 
 
 def _tile_actions(game: Game, states):

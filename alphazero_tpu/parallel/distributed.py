@@ -42,9 +42,10 @@ def initialize(coordinator_address: Optional[str] = None,
     arguments support generic clusters.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
+    # NOTE: must run before ANY backend-initializing jax call (jax.devices,
+    # device_put, ...) — do not probe jax.process_count() here
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(coordinator_address=coordinator_address,

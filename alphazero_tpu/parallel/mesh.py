@@ -100,6 +100,21 @@ def put_replicated(mesh: Optional[Mesh], tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def to_host(x) -> np.ndarray:
+    """Fetch a (possibly multi-process sharded) array to host memory.
+
+    Under a multi-controller runtime a ``data``-sharded array spans devices
+    of other processes; gather it (a collective — every process must call
+    this) before converting.  Single-process / fully-addressable arrays
+    convert directly."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_shards[0].data)
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def put_params_model_sharded(mesh: Mesh, net):
     """Tensor-parallel parameter placement: shard every kernel's OUTPUT-
     channel dimension (the last axis of conv/dense kernels) over the

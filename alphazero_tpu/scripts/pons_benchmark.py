@@ -279,15 +279,18 @@ def plot_results(results: dict, benches, out_png: str):
     for n, b in enumerate(benches):
         ax = axes[n // 2][n % 2]
         title = f"{b.stage.capitalize()} - {b.difficulty.capitalize()}"
-        pts = [(itc, errs[n]) for itc, errs in azt if n < len(errs)]
+        pts = sorted((itc, errs[n]) for itc, errs in azt
+                     if n < len(errs) and errs[n] is not None)
         if pts:
             ax.plot([p[0] for p in pts], [100 * p[1] for p in pts],
                     marker="o", ms=3)
-        if n < len(results.get("alphazero") or []):
-            ax.axhline(100 * results["alphazero"][n], color="green",
+        az = results.get("alphazero") or []
+        if n < len(az) and az[n] is not None:
+            ax.axhline(100 * az[n], color="green",
                        lw=0.8, ls=":", label="final agent")
-        if n < len(results.get("minmax") or []):
-            ax.axhline(100 * results["minmax"][n], color="red", lw=0.8,
+        mm = results.get("minmax") or []
+        if n < len(mm) and mm[n] is not None:
+            ax.axhline(100 * mm[n], color="red", lw=0.8,
                        ls="--", label="minmax-5")
         ax.set_title(title, fontsize=10)
         ax.set_ylabel("Error rate (%)")
@@ -356,7 +359,12 @@ def main(argv=None):
     if args.agents:
         order = args.agents.split(",")
         by_name = {n: (n, k, i) for n, k, i in agents}
-        agents = [by_name[n] for n in order if n in by_name]
+        unknown = [n for n in order if n not in by_name]
+        if unknown:
+            raise SystemExit(
+                f"--agents: unknown agent(s) {unknown}; "
+                f"available: {sorted(by_name)}")
+        agents = [by_name[n] for n in order]
 
     # ---- phase 1: thinks (accelerator-bound) ----------------------------
     if args.phase in ("all", "think"):
@@ -389,11 +397,35 @@ def main(argv=None):
         cache = SolveCache(args.cache)
         out = args.out or os.path.join(args.session_dir,
                                        "pons-benchmark-results.json")
+        bucket_keys = [f"{b.stage}/{b.difficulty}" for b in benches]
+        if os.path.exists(out):
+            # merge over previous results: a filtered --agents run must not
+            # clobber other agents' scores with None/[] (only when the
+            # bucket list matches — indices are positional)
+            with open(out) as f:
+                prev = json.load(f)
+            if prev.get("buckets") == bucket_keys:
+                results["minmax"] = prev.get("minmax")
+                results["alphazero"] = prev.get("alphazero")
+                results["alphazero_training"] = [
+                    (e[0], e[1]) for e in
+                    (prev.get("alphazero_training") or [])]
+
+        def pad(errs):
+            # pad partial per-bucket lists to full length with null so
+            # consumers can index any bucket and detect incompleteness
+            if errs is None:
+                return None
+            return list(errs) + [None] * (len(benches) - len(errs))
 
         def dump():  # incremental: partial sweeps survive interruption
             payload = dict(results)
-            payload["buckets"] = [f"{b.stage}/{b.difficulty}"
-                                  for b in benches]
+            payload["minmax"] = pad(results["minmax"])
+            payload["alphazero"] = pad(results["alphazero"])
+            payload["alphazero_training"] = sorted(
+                (it, pad(errs)) for it, errs in
+                results["alphazero_training"])
+            payload["buckets"] = bucket_keys
             payload["node_limit"] = args.node_limit
             with open(out, "w") as f:
                 json.dump(payload, f, indent=2)

@@ -51,11 +51,12 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..envs import core as envcore
 from ..envs.core import Game
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = np.float32(-1e30)  # numpy: no backend init at import
 
 # An oracle evaluates a batch of states: (states, obs[B,...], mask[B,A]) ->
 # (P[B,A] normalized over legal actions, V[B] from the current player's POV).

@@ -240,14 +240,20 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
     reuse = (not isinstance(cfg, gumbel.GumbelConfig)
              and getattr(cfg, "reuse_tree", False))
 
-    all_done_jit = jax.jit(
-        lambda states: jnp.all(jax.vmap(game.terminated)(states)))
+    count_done_jit = jax.jit(
+        lambda states: jnp.sum(jax.vmap(game.terminated)(states)
+                               .astype(jnp.int32)))
 
     from .utils import watchdog as WD
     steady = WD.dispatch_timeout()
     warmed = set()
 
-    def run(net, rng) -> TraceBatch:
+    def run(net, rng, on_progress=None) -> TraceBatch:
+        """``on_progress(newly_finished_games)`` fires after every segment
+        dispatch — the per-game completion granularity the reference's
+        ``Handlers.game_played`` relay has (``src/simulations.jl:258-266``),
+        quantized to segment boundaries by the lockstep design."""
+        ndone_prev = 0
         rng, init_key = jax.random.split(rng)
         carry = _init_carry(game, cfg, B, reuse, init_key)
         if mesh is not None:
@@ -272,9 +278,12 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
                 trs.append(tr)
                 # host-level early exit the fused scan couldn't do: stop
                 # searching once every lane's game has ended
-                done = e < L and bool(all_done_jit(carry[0]))
+                ndone = int(count_done_jit(carry[0]))
             warmed.add(e - s)
-            if done:
+            if on_progress is not None and ndone > ndone_prev:
+                on_progress(ndone - ndone_prev)
+                ndone_prev = ndone
+            if e < L and ndone == B:
                 break
         tr = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *trs)
         with WD.DispatchWatchdog(WD.first_call_timeout(steady),

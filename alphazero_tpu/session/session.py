@@ -42,19 +42,27 @@ from .log import Logger
 
 
 def _to_host(x) -> np.ndarray:
-    """Fetch an array to host memory.  Under a multi-host runtime a
-    ``data``-sharded array is not fully addressable from any one process;
-    gather it first so every host writes a complete checkpoint (the
-    bandwidth is trivial at replay-buffer scale)."""
-    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
-        from jax.experimental import multihost_utils
-        x = multihost_utils.process_allgather(x, tiled=True)
-    return np.asarray(x)
+    """Fetch an array to host memory (collective under multi-host; see
+    ``parallel.to_host``) so every host sees a complete checkpoint."""
+    from ..parallel import to_host
+    return to_host(x)
+
+
+def is_main_process() -> bool:
+    """True on the (single) process that should write checkpoint files.
+    Under a multi-controller runtime every host runs the same Session loop;
+    collectives (``_to_host``) must run on every process, file writes on
+    exactly one (they share a filesystem in pods and in the local tests)."""
+    return jax.process_index() == 0
 
 
 def save_pytree(path: str, tree) -> None:
     leaves = jax.tree.leaves(tree)
-    np.savez(path, **{f"l{i}": _to_host(x) for i, x in enumerate(leaves)})
+    # the allgather inside _to_host is a collective: every process must
+    # execute it even though only process 0 writes
+    host = {f"l{i}": _to_host(x) for i, x in enumerate(leaves)}
+    if is_main_process():
+        np.savez(path, **host)
 
 
 def load_pytree(path: str, template):
@@ -118,18 +126,19 @@ class Session(training.Handlers):
         d = dir or self.dir
         os.makedirs(d, exist_ok=True)
         e, env = self.experiment, self.env
-        with open(os.path.join(d, "params.json"), "w") as f:
-            f.write(cfgmod.params_to_json(env.params))
-        with open(os.path.join(d, "netspec.json"), "w") as f:
-            json.dump(e.netspec.to_json(), f, indent=2)
-        with open(os.path.join(d, "meta.json"), "w") as f:
-            json.dump({
-                "iteration": env.itc,
-                "replay_capacity": env.replay.capacity,
-                "rng": np.asarray(
-                    jax.random.key_data(env.rng)).tolist(),
-                "game": e.game.name,
-            }, f, indent=2)
+        if is_main_process():
+            with open(os.path.join(d, "params.json"), "w") as f:
+                f.write(cfgmod.params_to_json(env.params))
+            with open(os.path.join(d, "netspec.json"), "w") as f:
+                json.dump(e.netspec.to_json(), f, indent=2)
+            with open(os.path.join(d, "meta.json"), "w") as f:
+                json.dump({
+                    "iteration": env.itc,
+                    "replay_capacity": env.replay.capacity,
+                    "rng": np.asarray(
+                        jax.random.key_data(env.rng)).tolist(),
+                    "game": e.game.name,
+                }, f, indent=2)
         save_pytree(os.path.join(d, "curnn.npz"), env.curnn)
         save_pytree(os.path.join(d, "bestnn.npz"), env.bestnn)
         save_pytree(os.path.join(d, "mem.npz"), env.replay)
@@ -195,9 +204,10 @@ class Session(training.Handlers):
         if evals:
             payload = {"iteration": env.itc,
                        "evaluations": [R.to_dict(e) for e in evals]}
-            with open(os.path.join(self.dir, "benchmarks",
-                                   f"iter_{env.itc}.json"), "w") as f:
-                json.dump(payload, f, indent=2)
+            if is_main_process():
+                with open(os.path.join(self.dir, "benchmarks",
+                                       f"iter_{env.itc}.json"), "w") as f:
+                    json.dump(payload, f, indent=2)
             self.benchmark_history = [
                 b for b in self.benchmark_history
                 if b["iteration"] != env.itc] + [payload]
@@ -283,6 +293,21 @@ class Session(training.Handlers):
 
     def self_play_started(self, env):
         self.logger.print("Self-play in progress...")
+        self._sp_done = 0
+        self._sp_total = env.params.self_play.sim.num_games
+
+    def game_played(self, env):
+        # in-place progress line (per completed game, like the reference's
+        # ProgressMeter relay, ``session.jl:476``); stderr only so log
+        # files stay clean
+        self._sp_done += 1
+        n, tot = self._sp_done, max(self._sp_total, 1)
+        if n % 64 == 0 or n == tot:
+            import sys
+            frac = min(n / tot, 1.0)
+            bar = "#" * int(30 * frac)
+            print(f"\r  self-play [{bar:<30}] {min(n, tot)}/{tot}",
+                  end="\n" if n == tot else "", file=sys.stderr, flush=True)
 
     def self_play_finished(self, env, rep: R.SelfPlay):
         with self.logger.section("Self-play finished"):
@@ -323,9 +348,10 @@ class Session(training.Handlers):
                 ["remaining moves", "samples", "Lv", "Lp"], rows)
 
     def iteration_finished(self, env, rep: R.Iteration):
-        with open(os.path.join(self.dir, "reports",
-                               f"iter_{env.itc}.json"), "w") as f:
-            json.dump(R.to_dict(rep), f, indent=2)
+        if is_main_process():
+            with open(os.path.join(self.dir, "reports",
+                                   f"iter_{env.itc}.json"), "w") as f:
+                json.dump(R.to_dict(rep), f, indent=2)
         with self.logger.section(f"Iteration {env.itc} finished"):
             self.logger.table(["phase", "seconds"], [
                 ["self play", f"{rep.perfs_self_play.time:.1f}"],
@@ -339,6 +365,8 @@ class Session(training.Handlers):
             if self.save_intermediate:
                 self.save(os.path.join(self.dir, f"iter_{env.itc}"))
             self.logger.print(f"Session saved to {self.dir}")
+        if not is_main_process():
+            return
         try:
             from .plots import plot_benchmark, plot_iteration, plot_training
             plot_iteration(self.dir, env.itc)

@@ -161,14 +161,19 @@ def self_play_step(env: AZEnv, handlers: Handlers) -> R.SelfPlay:
     t0 = time.perf_counter()
     total_moves = 0
     depth_sum, sims_sum = 0, 0
+    def on_progress(n):
+        # one callback per completed game (``simulations.jl:258-266``),
+        # delivered at segment-dispatch granularity
+        for _ in range(n):
+            handlers.game_played(env)
+
     for _ in range(p.sim.num_rounds):
-        tb = run(env.bestnn, env.next_key())
+        tb = run(env.bestnn, env.next_key(), on_progress)
         env.replay = _push_program(env.game, env.replay.capacity, env.mesh)(
             env.replay, tb)
         total_moves += int(jax.jit(jnp.sum)(tb.num_moves))
         depth_sum += int(tb.nodes_traversed)
         sims_sum += int(tb.num_sims)
-        handlers.game_played(env)
     jax.block_until_ready(env.replay.ptr)
     elapsed = time.perf_counter() - t0
     report = R.SelfPlay(
@@ -212,6 +217,7 @@ def _push_program(game: Game, capacity: int, mesh=None):
 def compare_networks(env: AZEnv, contender: NetState, baseline: NetState,
                      handlers: Handlers) -> R.Evaluation:
     """Contender vs baseline under arena params (``training.jl:159-174``)."""
+    from .parallel import to_host
     ap = env.params.arena
     spec = arenamod.Full(ap.mcts)
     t0 = time.perf_counter()
@@ -220,10 +226,10 @@ def compare_networks(env: AZEnv, contender: NetState, baseline: NetState,
             env.game, env.netspec, spec, spec, ap.sim, contender, baseline,
             env.next_key(), gamma=ap.mcts.gamma, mesh=env.mesh)
         handlers.checkpoint_game_played(env)
-        rewards = np.asarray(res.rewards)
+        rewards = to_host(res.rewards)
         avgr = float(rewards.mean())
         baseline_rewards = None
-        red = float(res.redundancy)
+        red = float(to_host(res.redundancy))
     else:
         res_c = arenamod.play_duel(
             env.game, env.netspec, spec, None, ap.sim, contender, contender,
@@ -231,10 +237,12 @@ def compare_networks(env: AZEnv, contender: NetState, baseline: NetState,
         res_b = arenamod.play_duel(
             env.game, env.netspec, spec, None, ap.sim, baseline, baseline,
             env.next_key(), gamma=ap.mcts.gamma, mesh=env.mesh)
-        rewards = np.asarray(res_c.rewards)
-        baseline_rewards = list(map(float, np.asarray(res_b.rewards)))
-        avgr = float(rewards.mean() - np.asarray(res_b.rewards).mean())
-        red = float((res_c.redundancy + res_b.redundancy) / 2)
+        rewards = to_host(res_c.rewards)
+        b_rewards = to_host(res_b.rewards)
+        baseline_rewards = list(map(float, b_rewards))
+        avgr = float(rewards.mean() - b_rewards.mean())
+        red = float(to_host(res_c.redundancy)
+                    + to_host(res_b.redundancy)) / 2
     return R.Evaluation(
         legend="Most recent NN versus best NN so far",
         avgr=avgr, redundancy=red,
@@ -351,13 +359,17 @@ def memory_report(env: AZEnv, handlers: Handlers) -> Optional[R.Memory]:
         latest = report_for(sub)
     else:
         latest = all_samples
-    # per-game-stage buckets over t (remaining moves)
+    # per-game-stage buckets over t (remaining moves): sort by t, then
+    # ceil-size chunks exactly as the reference partitions
+    # (``learning.jl:206-208``: csize = ceil(len/num); last chunk smaller)
+    from .parallel import to_host
     size = int(env.replay.size)
-    ts = np.asarray(env.replay.t[:size])
+    ts = to_host(env.replay.t)[:size]  # host gather (collective under mesh)
     order = np.argsort(ts, kind="stable")
     stages: List[R.StageSamples] = []
     nstages = min(mp.num_game_stages, max(size, 1))
-    for chunk in np.array_split(order, nstages):
+    csize = -(-len(order) // nstages)
+    for chunk in [order[i:i + csize] for i in range(0, len(order), csize)]:
         if len(chunk) == 0:
             continue
         cap = env.replay.capacity

@@ -111,21 +111,8 @@ def test_train_iteration_invariant_to_mesh_size():
 
 def _mesh_test_experiment():
     """A small-but-shardable tictactoe experiment (16 lanes, arena on)."""
-    import dataclasses
-
     from alphazero_tpu import experiments
-    exp = experiments.dummy_run_experiment(
-        experiments.registry()["tictactoe"])
-    resize = lambda s: s.replace(num_games=16, num_lanes=16)
-    p = exp.params
-    params = dataclasses.replace(
-        p,
-        self_play=dataclasses.replace(p.self_play,
-                                      sim=resize(p.self_play.sim)),
-        arena=dataclasses.replace(p.arena, sim=resize(p.arena.sim)),
-        learning=dataclasses.replace(p.learning, batch_size=16,
-                                     loss_computation_batch_size=16))
-    return dataclasses.replace(exp, params=params, benchmark=())
+    return experiments.mesh_smoke_experiment()
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
