@@ -1,12 +1,17 @@
-"""Ground-truth mistake-rate benchmark for connect-four agents.
+"""OFFLINE-GENERATED mistake-rate benchmark — the fallback protocol.
 
-Re-design of ``/root/reference/games/connect-four/scripts/pons_benchmark.jl``:
-evaluate an agent against the *perfect* game-theoretic values of the in-repo
-C++ solver on a set of positions bucketed by game stage x difficulty
-(``pons_benchmark.jl:18-45``).  The reference downloads Pascal Pons' test
-set; with no network egress we generate an equivalent set locally: random
-(blunder-free) playouts truncated at random depths, labeled exactly by the
-solver, with difficulty measured by the solver's node count.
+NOTE: ``scripts/pons_benchmark.py`` is THE ground-truth protocol (it scores
+agents on Pascal Pons' published 6000-position ``Test_L*_R*`` sets, shipped
+in ``alphazero_tpu/data/pons``, exactly as the reference's
+``games/connect-four/scripts/pons_benchmark.jl`` does).  Use that for any
+number that gets compared against the reference.
+
+This script is the dataset *generator* variant, kept for environments where
+the published test files are unavailable: it builds an equivalent set
+locally — random (blunder-free) playouts truncated at random depths, labeled
+exactly by the in-repo solver, with difficulty measured by solver node
+count — and scores agents on it.  Bucket boundaries are therefore NOT
+comparable position-for-position with the published sets.
 
 A "mistake" is a move whose exact value class (win/draw/loss) is strictly
 worse than the best achievable class in the position.

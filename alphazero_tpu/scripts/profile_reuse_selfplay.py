@@ -16,6 +16,7 @@ import argparse
 import time
 
 import jax
+import jax.numpy as jnp
 
 
 def main(argv=None):
@@ -30,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--stages", type=int, default=0)
     ap.add_argument("--fresh", action="store_true",
                     help="baseline: fresh trees (reuse off)")
+    ap.add_argument("--net", default=None,
+                    help="load a trained net (bestnn.npz) — the target-"
+                         "sharpness comparison only means something with "
+                         "a non-random oracle")
     args = ap.parse_args(argv)
 
     from ..config import MctsParams
@@ -44,6 +49,9 @@ def main(argv=None):
                       num_policy_head_filters=32, num_value_head_filters=32,
                       batch_norm_momentum=0.1)
     net = Network(game, spec.inference_spec()).init(jax.random.key(0))
+    if args.net:
+        from ..session.session import load_pytree
+        net = load_pytree(args.net, net)
     p = MctsParams(
         num_iters_per_turn=args.sims, cpuct=2.0, prior_temperature=1.0,
         temperature=PLSchedule([0, 20, 30], [1.0, 1.0, 0.3]),
@@ -65,8 +73,17 @@ def main(argv=None):
     n = int(jax.jit(lambda x: x.sum())(tb.num_moves))
     t1 = time.perf_counter()
     depth = float(tb.nodes_traversed) / max(float(tb.num_sims), 1)
+
+    @jax.jit
+    def pi_entropy(pi, valid):
+        h = -jnp.sum(pi * jnp.log(pi + 1e-12), axis=-1)
+        w = valid.astype(jnp.float32)
+        return jnp.sum(h * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    hp = float(pi_entropy(tb.pi, tb.valid))
     print(f"steady: {n / (t1 - t0):.1f} samples/s "
           f"({n} samples in {t1 - t0:.1f}s, avg depth {depth:.2f}, "
+          f"pi-entropy {hp:.3f}, "
           f"reuse={'off' if args.fresh else args.cap})")
 
 

@@ -35,6 +35,22 @@ def main(argv=None):
     ap.add_argument("--arena-sims", type=int, default=None,
                     help="override arena simulation count (default: same "
                          "as --sims)")
+    ap.add_argument("--reuse", type=int, default=0,
+                    help="SELF-PLAY cross-move tree reuse cap (0 = fresh "
+                         "trees; the reference persists its tree across "
+                         "moves, src/mcts.jl:124-151 + reset_every — this "
+                         "is the array equivalent).  Arena/benchmark "
+                         "players always use fresh trees")
+    ap.add_argument("--self-play-max-depth", type=int, default=16,
+                    help="descent-depth cap for self-play search "
+                         "(0 = uncapped reference semantics)")
+    ap.add_argument("--gather", default=None, choices=[None, "take", "onehot"],
+                    help="descent lookup formulation override (bit-"
+                         "identical; perf only)")
+    ap.add_argument("--benchmark-games", type=int, default=None)
+    ap.add_argument("--save-intermediate", action="store_true",
+                    help="snapshot the session after every iteration "
+                         "(enables post-hoc benchmark/Pons sweeps)")
     ap.add_argument("--gumbel-considered", type=int, default=8,
                     help="sequential-halving root candidates; should be "
                          "close to the legal-action count (7 for c4)")
@@ -81,7 +97,11 @@ def main(argv=None):
         sim=sp.sim.replace(num_games=args.games, num_lanes=args.lanes),
         mcts=sp.mcts.replace(num_iters_per_turn=args.sims,
                              algorithm=args.algorithm,
-                             gumbel_max_considered=args.gumbel_considered))
+                             gumbel_max_considered=args.gumbel_considered,
+                             reuse_tree=args.reuse > 0,
+                             reuse_cap=args.reuse or 64,
+                             max_depth=args.self_play_max_depth or None,
+                             gather=args.gather))
     arena = dataclasses.replace(
         p.arena, mcts=p.arena.mcts.replace(
             num_iters_per_turn=args.arena_sims or args.sims,
@@ -89,6 +109,12 @@ def main(argv=None):
             gumbel_max_considered=args.gumbel_considered))
     p = dataclasses.replace(p, self_play=sp, arena=arena,
                             num_iters=args.iters)
+    if args.benchmark_games:
+        bench = tuple(
+            dataclasses.replace(
+                b, sim=b.sim.replace(num_games=args.benchmark_games))
+            for b in exp.benchmark)
+        exp = dataclasses.replace(exp, benchmark=bench)
     exp = dataclasses.replace(exp, params=p)
 
     mesh = None
@@ -100,7 +126,8 @@ def main(argv=None):
                          else len(jax.devices()))
 
     session = Session(exp, dir=args.dir, seed=args.seed,
-                      benchmark_every=args.benchmark_every, mesh=mesh)
+                      benchmark_every=args.benchmark_every,
+                      save_intermediate=args.save_intermediate, mesh=mesh)
     session.resume()
 
 

@@ -245,8 +245,12 @@ class Session(training.Handlers):
                 if init.errors:
                     raise ValueError("invalid parameters: " +
                                      "; ".join(init.errors))
-            with self.logger.section("Iteration 0 benchmark"):
-                self.run_benchmark()
+            if self.benchmark_every <= self.env.params.num_iters:
+                # (a cadence beyond num_iters means "final only": skip the
+                # iteration-0 anchor too — post-hoc sweeps over saved
+                # iterations can recover the full curve)
+                with self.logger.section("Iteration 0 benchmark"):
+                    self.run_benchmark()
             if self.autosave:
                 self.save()
             self._fresh = False

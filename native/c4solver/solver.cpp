@@ -10,6 +10,16 @@
 // ordering) — not a copy of any existing source — and is exposed as a C ABI
 // for ctypes (see alphazero_tpu/solver.py).
 //
+// Provenance / license note: the ALGORITHM closely follows Pascal Pons'
+// public solver tutorial (http://blog.gamesolver.org — "Solving Connect 4:
+// how to build a perfect AI"; his companion code is AGPL): the
+// `current+mask` bitboard key, the non-losing-move mask, center-first
+// ordering and the null-window midpoint narrowing are his published design,
+// reimplemented here from the written description.  No source code was
+// copied; shared idioms are those the tutorial text itself specifies.  The
+// companion Test_L*_R* benchmark DATA under alphazero_tpu/data/pons is the
+// published dataset (see the provenance README there).
+//
 // Score convention (matches the reference's expectations,
 // games/connect-four/scripts/pons_benchmark.jl): from the perspective of the
 // player to move, 0 = draw; +s = forced win when the winner's (22 - s)th
