@@ -77,7 +77,14 @@ def _step(s: C4State, action, key) -> C4State:
     mover_cell = (mover + 1).astype(jnp.int8)
     col = s.board[:, action]
     row = jnp.sum((col != 0).astype(jnp.int32))  # first free row in column
-    board = s.board.at[row, action].set(mover_cell)
+    # stone placement as a masked select, NOT a scatter: the batched int8
+    # scatter (vmap of board.at[row, action].set) miscompiles on the TPU
+    # at >= 1024 lanes — ~27% of updates silently dropped, bisected via
+    # scripts/repro_i8_scatter.py (int32 scatters and this select are
+    # correct at every size; <= 768 lanes was always correct)
+    hit = ((jnp.arange(NUM_ROWS)[:, None] == row)
+           & (jnp.arange(NUM_COLS)[None, :] == action))
+    board = jnp.where(hit, mover_cell, s.board)
     win = _has_won(board, mover_cell)
     full = jnp.all(board != 0)
     rew = jnp.where(win, jnp.where(mover == WHITE, 1.0, -1.0), 0.0)

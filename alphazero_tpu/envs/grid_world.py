@@ -73,7 +73,10 @@ def _step(s: GridState, action, key) -> GridState:
 
 
 def _observe(s: GridState):
-    obs = jnp.zeros((SIZE, SIZE), jnp.float32).at[s.pos[0], s.pos[1]].set(1.0)
+    # select, not scatter (batched per-lane scatters miscompile on TPU at
+    # large lane counts; see envs/connect_four.py:_step)
+    obs = ((jnp.arange(SIZE)[:, None] == s.pos[0])
+           & (jnp.arange(SIZE)[None, :] == s.pos[1])).astype(jnp.float32)
     return obs[:, :, None]
 
 

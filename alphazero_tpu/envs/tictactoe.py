@@ -95,7 +95,9 @@ def _step(s: TTTState, action, key) -> TTTState:
     del key  # deterministic game
     mover = s.player
     mover_cell = (mover + 1).astype(jnp.int8)
-    board = s.board.at[action].set(mover_cell)
+    # select, not scatter: batched int8 scatters miscompile on TPU at
+    # >= 1024 lanes (see envs/connect_four.py:_step / repro_i8_scatter.py)
+    board = jnp.where(jnp.arange(NUM_CELLS) == action, mover_cell, s.board)
     win = _has_won(board, mover_cell)
     full = jnp.all(board != 0)
     rew = jnp.where(win, jnp.where(mover == WHITE, 1.0, -1.0), 0.0)

@@ -81,9 +81,22 @@ def main(argv=None):
         return jnp.sum(h * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     hp = float(pi_entropy(tb.pi, tb.valid))
+
+    # data-sanity probe: fraction of valid consecutive transitions whose
+    # board did NOT change (a dropped/no-op move — must be ~0)
+    import numpy as np
+    B = args.lanes
+    L = tb.pi.shape[0] // B
+    boards = np.asarray(tb.states.board).reshape(B, L, 6, 7)
+    valid = np.asarray(tb.valid).reshape(B, L)
+    both = valid[:, 1:] & valid[:, :-1]
+    same = (boards[:, 1:] == boards[:, :-1]).all(axis=(2, 3)) & both
+    noop = same.sum() / max(both.sum(), 1)
+    lens = np.asarray(tb.num_moves)
     print(f"steady: {n / (t1 - t0):.1f} samples/s "
           f"({n} samples in {t1 - t0:.1f}s, avg depth {depth:.2f}, "
-          f"pi-entropy {hp:.3f}, "
+          f"pi-entropy {hp:.3f}, noop-rate {100 * noop:.2f}%, "
+          f"len mean {lens.mean():.1f} max {lens.max()}, "
           f"reuse={'off' if args.fresh else args.cap})")
 
 
