@@ -50,7 +50,7 @@ def main(argv=None):
     from .. import arena as A
     from .. import report as R
     from ..experiments import connect_four
-    from ..session import Session
+    from ..session.session import load_eval_net
 
     exp = connect_four.experiment()
     duels = []
@@ -65,6 +65,9 @@ def main(argv=None):
         int(d.split("_")[1]) for d in os.listdir(args.dir)
         if d.startswith("iter_") and
         os.path.isdir(os.path.join(args.dir, d)))
+    if not iters:
+        raise SystemExit(f"no iter_* snapshots in {args.dir} "
+                         "(train with --save-intermediate)")
     iters = [i for i in iters if i % args.stride == 0 or i == iters[-1]]
     print(f"sweeping iterations {iters} with {len(duels)} duels x "
           f"{args.games} games")
@@ -76,21 +79,22 @@ def main(argv=None):
                 have = {e["legend"] for e in json.load(f)["evaluations"]}
         else:
             have = set()
-        sub = Session(exp, dir=os.path.join(args.dir, f"iter_{itc}"),
-                      autosave=False, quiet=True)
+        # eval-only load: fails loudly on incomplete snapshot dirs instead
+        # of silently benchmarking a fresh random net (ADVICE r3, medium)
+        snap = load_eval_net(exp, os.path.join(args.dir, f"iter_{itc}"))
         evals = []
         if have and os.path.exists(out_path):
             with open(out_path) as f:
                 evals = json.load(f)["evaluations"]
-        for item in duels:
+        for d_i, item in enumerate(duels):
             legend = (f"{A.player_name(item.player)} vs "
                       f"{A.player_name(item.baseline)}")
             if legend in have:
                 continue
             ev = A.run_benchmark_item(
-                sub.env.game, sub.env.netspec, sub.env.bestnn, item,
-                sub.env.next_key(),
-                gamma=sub.env.params.self_play.mcts.gamma)
+                snap.game, snap.netspec, snap.bestnn, item,
+                jax.random.key(1000 * itc + d_i),
+                gamma=exp.params.self_play.mcts.gamma)
             w, d, l = A.ternary_stats(ev.rewards)
             print(f"  iter {itc}: {ev.legend}: avgr {ev.avgr:+.3f} "
                   f"({w}/{d}/{l} of {len(ev.rewards)}) [{ev.time:.0f}s]",

@@ -368,7 +368,9 @@ def main(argv=None):
 
     # ---- phase 1: thinks (accelerator-bound) ----------------------------
     if args.phase in ("all", "think"):
-        from ..session import Session
+        # eval-only load — fails loudly on an incomplete snapshot dir
+        # instead of silently thinking with a fresh random net (ADVICE r3)
+        from ..session.session import load_eval_net
         mcts_params = exp.params.arena.mcts
         for name, kind, it in agents:
             done = set(moves_store.get(name, {}))
@@ -380,9 +382,9 @@ def main(argv=None):
             else:
                 d = (args.session_dir if it is None
                      else os.path.join(args.session_dir, f"iter_{it}"))
-                sess = Session(exp, dir=d, autosave=False, quiet=True)
+                snap = load_eval_net(exp, d)
                 think = make_alphazero_think(
-                    game, exp.netspec, sess.env.bestnn, mcts_params)
+                    game, exp.netspec, snap.bestnn, mcts_params)
             think_player(name, think, benches, game, args.lanes,
                          moves_store)
             tmp = moves_path + ".tmp"
@@ -410,6 +412,15 @@ def main(argv=None):
                 results["alphazero_training"] = [
                     (e[0], e[1]) for e in
                     (prev.get("alphazero_training") or [])]
+            elif not args.out:
+                # a --buckets-filtered run must not clobber previously
+                # computed full-bucket scores at the default path
+                # (ADVICE r3): demand an explicit --out instead
+                raise SystemExit(
+                    f"{out} holds results for buckets "
+                    f"{prev.get('buckets')} but this run scores "
+                    f"{bucket_keys}; pass an explicit --out to write "
+                    "them elsewhere")
 
         def pad(errs):
             # pad partial per-bucket lists to full length with null so

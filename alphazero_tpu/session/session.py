@@ -87,6 +87,7 @@ class Session(training.Handlers):
         self.experiment = experiment
         self.dir = dir or os.path.join("sessions", experiment.name)
         self.autosave = autosave
+        self.quiet = quiet
         self.save_intermediate = save_intermediate
         # optional jax.sharding.Mesh: runs every phase SPMD over its `data`
         # axis (self-play lanes, replay, learner batches, arena lanes); the
@@ -298,19 +299,28 @@ class Session(training.Handlers):
     def self_play_started(self, env):
         self.logger.print("Self-play in progress...")
         self._sp_done = 0
+        self._sp_bar_done = False
         self._sp_total = env.params.self_play.sim.num_games
 
     def game_played(self, env):
         # in-place progress line (per completed game, like the reference's
         # ProgressMeter relay, ``session.jl:476``); stderr only so log
-        # files stay clean
+        # files stay clean.  Emitted only by the main process and only when
+        # the session isn't quiet — under the multi-controller runtime every
+        # process runs the handlers, and an interleaved bar per process is
+        # garbage (ADVICE r3).  Counts are clamped to num_games: lanes are
+        # counted per dispatch round, so the raw counter can overshoot.
         self._sp_done += 1
-        n, tot = self._sp_done, max(self._sp_total, 1)
-        if n % 64 == 0 or n == tot:
+        if self.quiet or not is_main_process():
+            return
+        tot = max(self._sp_total, 1)
+        n = min(self._sp_done, tot)
+        done = n == tot and not getattr(self, "_sp_bar_done", False)
+        if (n % 64 == 0 and self._sp_done <= tot) or done:
             import sys
-            frac = min(n / tot, 1.0)
-            bar = "#" * int(30 * frac)
-            print(f"\r  self-play [{bar:<30}] {min(n, tot)}/{tot}",
+            self._sp_bar_done = n == tot
+            bar = "#" * int(30 * n / tot)
+            print(f"\r  self-play [{bar:<30}] {n}/{tot}",
                   end="\n" if n == tot else "", file=sys.stderr, flush=True)
 
     def self_play_finished(self, env, rep: R.SelfPlay):
@@ -382,3 +392,47 @@ class Session(training.Handlers):
     def training_finished(self, env):
         self.logger.print("")
         self.logger.print("Training finished.")
+
+
+class EvalSnapshot:
+    """A loaded network snapshot for evaluation-only tooling."""
+
+    def __init__(self, experiment: Experiment, dir: str):
+        self.experiment = experiment
+        self.dir = dir
+        self.game = experiment.game
+        self.netspec = experiment.netspec
+
+
+def load_eval_net(experiment: Experiment, dir: str) -> "EvalSnapshot":
+    """Load just the promoted network of a saved session/snapshot dir.
+
+    Evaluation tools (benchmark_sweep, pons_benchmark) must NOT go through
+    ``Session(...)``: its resume check requires ``mem.npz``, which
+    ``.gitignore`` excludes for ``sessions/*/iter_*`` snapshots, and an
+    incomplete dir silently falls back to a FRESH random-weight env — a
+    sweep would then benchmark random networks and write plausible-looking
+    results (ADVICE r3, medium).  This path needs only ``bestnn.npz`` +
+    ``netspec.json`` (+ ``meta.json`` for the iteration number) and fails
+    loudly when they are absent or mismatched.
+    """
+    for need in ("netspec.json", "bestnn.npz", "meta.json"):
+        path = os.path.join(dir, need)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"not a loadable snapshot: {path} is missing (train with "
+                "--save-intermediate to create per-iteration snapshots)")
+    with open(os.path.join(dir, "netspec.json")) as f:
+        saved_spec = NetworkSpec.from_json(json.load(f)).to_json()
+    if (json.loads(json.dumps(saved_spec))
+            != json.loads(json.dumps(experiment.netspec.to_json()))):
+        raise ValueError(
+            f"snapshot {dir} was created with a different network spec: "
+            f"{saved_spec} != {experiment.netspec.to_json()}")
+    snap = EvalSnapshot(experiment, dir)
+    with open(os.path.join(dir, "meta.json")) as f:
+        snap.iteration = json.load(f)["iteration"]
+    network = Network(experiment.game, experiment.netspec)
+    net_t = network.init(jax.random.key(0))
+    snap.bestnn = load_pytree(os.path.join(dir, "bestnn.npz"), net_t)
+    return snap

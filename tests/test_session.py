@@ -70,3 +70,28 @@ def test_session_rejects_changed_netspec(tmp_path):
         exp, netspec=dataclasses.replace(exp.netspec, width=123))
     with pytest.raises(ValueError, match="network"):
         Session(changed, dir=d, quiet=True)
+
+
+def test_load_eval_net(tmp_path):
+    """Eval-only snapshot loading (ADVICE r3): loads bestnn without mem.npz,
+    and fails loudly — never falls back to fresh weights — when incomplete."""
+    from alphazero_tpu.session.session import load_eval_net
+
+    exp = experiments.dummy_run_experiment(
+        experiments.registry()["tictactoe"])
+    d = str(tmp_path / "sess")
+    s1 = Session(exp, dir=d, quiet=True, seed=0)
+    s1.resume()
+    # a snapshot without the replay buffer must still load for evaluation
+    os.remove(os.path.join(d, "mem.npz"))
+    snap = load_eval_net(exp, d)
+    assert snap.iteration == 2
+    for a, b in zip(jax.tree.leaves(snap.bestnn.params),
+                    jax.tree.leaves(s1.env.bestnn.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # missing network file -> loud failure, not a silent fresh env
+    os.remove(os.path.join(d, "bestnn.npz"))
+    with pytest.raises(FileNotFoundError):
+        load_eval_net(exp, d)
+    with pytest.raises(FileNotFoundError):
+        load_eval_net(exp, str(tmp_path / "nope"))
