@@ -19,10 +19,22 @@ from . import Experiment
 
 def experiment(num_lanes: int = 1024) -> Experiment:
     game = game_registry()["connect-four"]
+    # value_init_gain reproduces the reference's measured INIT value-head
+    # statistics (value RMS ~0.45; derived from
+    # ``docs/src/assets/img/ui-first-iter.png``: learning-start Lv=1.024 >
+    # E[z^2] — see models/interface.kernel_initializer).  A decisive random
+    # VALUE function is load-bearing for the takeoff: it makes iteration-1
+    # search Q-driven and its targets a consistent, learnable function
+    # instead of noise (round-4 probes; measured session Hp 1.78 -> 1.36).
+    # The policy head keeps gain 1: the reference's own learning-start CE
+    # (Lp+Hp = 2.15 > ln 7) shows its init priors DISAGREE with its targets
+    # — prior tilt is not the driver, and gains >~2 explode the initial CE
+    # (observed: loss 7 -> nan in 4 Adam steps at gain 4).
     netspec = ResNetSpec(
         num_filters=128, num_blocks=5, conv_kernel_size=(3, 3),
         num_policy_head_filters=32, num_value_head_filters=32,
-        batch_norm_momentum=0.1)
+        batch_norm_momentum=0.1,
+        init_scheme="flux", policy_init_gain=1.0, value_init_gain=3.0)
     self_play = SelfPlayParams(
         sim=SimParams(num_games=5000, num_lanes=num_lanes),
         mcts=MctsParams(

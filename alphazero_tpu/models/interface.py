@@ -33,6 +33,38 @@ class NetState(NamedTuple):
     batch_stats: Any
 
 
+def kernel_initializer(scheme: str, gain: float = 1.0):
+    """Kernel initializer for conv/dense layers.
+
+    ``"flux"`` is glorot_uniform — the reference's FluxLib default for every
+    Dense/Conv kernel (``Flux.glorot_uniform``); ``"lecun"`` is flax's
+    lecun_normal default (this repo's rounds 1-3 behavior).  The distinction
+    is load-bearing, not cosmetic: the untrained reference net measurably
+    emits value outputs of RMS ~0.4-0.5 and puts 14% of policy mass on
+    invalid actions at iteration 1 (``docs/src/assets/img/ui-first-iter.png``:
+    learning-start Lv=1.024 > E[z^2], Linv=0.145), and those decisive random
+    (but per-state-consistent, hence *learnable*) outputs make its
+    iteration-1 search concentrated (stored-pi entropy 1.02, exploration
+    depth 5.3) where a near-silent init (flax lecun value RMS ~0.09) leaves
+    the search prior-uniform (our measured iteration-1 entropy 1.78, depth
+    4.1) and the resulting targets noise-dominated and unfittable
+    (round-4 probes: probe_overtrain.py, probe_ref_entropy.py).  ``gain``
+    scales a head's final kernels to match the reference's measured init
+    output statistics where framework init conventions still differ.
+    """
+    if scheme == "lecun":
+        init = jax.nn.initializers.lecun_normal()
+    elif scheme == "flux":
+        init = jax.nn.initializers.glorot_uniform()
+    else:
+        raise ValueError(f"unknown init scheme: {scheme}")
+    if gain == 1.0:
+        return init
+    def scaled(key, shape, dtype=jnp.float32):
+        return gain * init(key, shape, dtype)
+    return scaled
+
+
 @dataclasses.dataclass(frozen=True)
 class NetworkSpec:
     """Abstract network spec; subclasses define ``build(game) -> nn.Module``."""

@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..envs.core import Game
-from .interface import NetworkSpec
+from .interface import NetworkSpec, kernel_initializer
 
 
 class _ResNet(nn.Module):
@@ -31,9 +31,13 @@ class _ResNet(nn.Module):
     value_filters: int
     bn_momentum: float  # flax convention (retention)
     compute_dtype: str = "float32"
+    init_scheme: str = "flux"
+    policy_init_gain: float = 1.0
+    value_init_gain: float = 1.0
 
     def _conv(self, x, filters, kernel):
         return nn.Conv(filters, kernel, padding="SAME", use_bias=True,
+                       kernel_init=kernel_initializer(self.init_scheme),
                        dtype=self.compute_dtype)(x)
 
     def _bn(self, x, train):
@@ -53,13 +57,21 @@ class _ResNet(nn.Module):
         # policy head (``resnet.jl:79-84``)
         p = nn.relu(self._bn(self._conv(x, self.policy_filters, (1, 1)), train))
         p = p.reshape((p.shape[0], -1))
-        p = nn.Dense(self.num_actions, dtype=self.compute_dtype)(p)
+        p = nn.Dense(self.num_actions, dtype=self.compute_dtype,
+                     kernel_init=kernel_initializer(
+                         self.init_scheme, self.policy_init_gain))(p)
         p = nn.softmax(p.astype(jnp.float32), axis=-1)
         # value head (``resnet.jl:85-90``)
         v = nn.relu(self._bn(self._conv(x, self.value_filters, (1, 1)), train))
         v = v.reshape((v.shape[0], -1))
-        v = nn.relu(nn.Dense(nf, dtype=self.compute_dtype)(v))
-        v = nn.tanh(nn.Dense(1, dtype=self.compute_dtype)(v).astype(jnp.float32))
+        v = nn.relu(nn.Dense(nf, dtype=self.compute_dtype,
+                             kernel_init=kernel_initializer(
+                                 self.init_scheme,
+                                 self.value_init_gain))(v))
+        v = nn.tanh(nn.Dense(1, dtype=self.compute_dtype,
+                             kernel_init=kernel_initializer(
+                                 self.init_scheme,
+                                 self.value_init_gain))(v).astype(jnp.float32))
         return p, v[..., 0]
 
 
@@ -77,6 +89,13 @@ class ResNetSpec(NetworkSpec):
     # compute dtype for inference-only programs (self-play oracle, arena,
     # benchmarks); params/BN stats stay f32 and are shared with training
     inference_dtype: str = "bfloat16"
+    # weight init: "flux" = glorot_uniform everywhere (the reference's
+    # FluxLib default, ``Flux.glorot_uniform``); "lecun" = flax defaults
+    # (rounds 1-3 behavior).  The head gains scale the final dense kernels
+    # of each head; see ``interface.kernel_initializer`` for why they exist.
+    init_scheme: str = "flux"
+    policy_init_gain: float = 1.0
+    value_init_gain: float = 1.0
 
     def inference_spec(self) -> "ResNetSpec":
         return dataclasses.replace(self, compute_dtype=self.inference_dtype)
@@ -92,4 +111,7 @@ class ResNetSpec(NetworkSpec):
             value_filters=self.num_value_head_filters,
             bn_momentum=1.0 - self.batch_norm_momentum,
             compute_dtype=self.compute_dtype,
+            init_scheme=self.init_scheme,
+            policy_init_gain=self.policy_init_gain,
+            value_init_gain=self.value_init_gain,
         )

@@ -17,7 +17,7 @@ import dataclasses
 import flax.linen as nn
 
 from ..envs.core import Game
-from .interface import NetworkSpec
+from .interface import NetworkSpec, kernel_initializer
 
 
 class _SimpleNet(nn.Module):
@@ -28,9 +28,12 @@ class _SimpleNet(nn.Module):
     depth_vhead: int
     use_batch_norm: bool
     bn_momentum: float  # flax convention (retention)
+    init_scheme: str = "flux"
+    policy_init_gain: float = 1.0
+    value_init_gain: float = 1.0
 
     def _dense(self, x, out, train):
-        x = nn.Dense(out)(x)
+        x = nn.Dense(out, kernel_init=kernel_initializer(self.init_scheme))(x)
         if self.use_batch_norm:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum)(x)
@@ -45,11 +48,15 @@ class _SimpleNet(nn.Module):
         p = x
         for _ in range(self.depth_phead):
             p = self._dense(p, self.width, train)
-        p = nn.softmax(nn.Dense(self.num_actions)(p), axis=-1)
+        p = nn.softmax(nn.Dense(self.num_actions,
+                                kernel_init=kernel_initializer(
+                                    self.init_scheme,
+                                    self.policy_init_gain))(p), axis=-1)
         v = x
         for _ in range(self.depth_vhead):
             v = self._dense(v, self.width, train)
-        v = nn.tanh(nn.Dense(1)(v))
+        v = nn.tanh(nn.Dense(1, kernel_init=kernel_initializer(
+            self.init_scheme, self.value_init_gain))(v))
         return p, v[..., 0]
 
 
@@ -63,6 +70,10 @@ class SimpleNetSpec(NetworkSpec):
     depth_vhead: int = 1
     use_batch_norm: bool = False
     batch_norm_momentum: float = 0.6  # Flux convention
+    # see ResNetSpec / interface.kernel_initializer
+    init_scheme: str = "flux"
+    policy_init_gain: float = 1.0
+    value_init_gain: float = 1.0
 
     def build(self, game: Game):
         return _SimpleNet(
@@ -73,4 +84,7 @@ class SimpleNetSpec(NetworkSpec):
             depth_vhead=self.depth_vhead,
             use_batch_norm=self.use_batch_norm,
             bn_momentum=1.0 - self.batch_norm_momentum,
+            init_scheme=self.init_scheme,
+            policy_init_gain=self.policy_init_gain,
+            value_init_gain=self.value_init_gain,
         )

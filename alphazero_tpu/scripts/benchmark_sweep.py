@@ -51,7 +51,10 @@ def main(argv=None):
     from .. import report as R
     from ..experiments import connect_four
     from ..session.session import load_eval_net
+    from ..utils import canary as canarymod
 
+    canary = canarymod.summary(canarymod.validate_chip())
+    print(f"canary: {canary}")
     exp = connect_four.experiment()
     duels = []
     for k in args.duels.split(","):
@@ -101,7 +104,8 @@ def main(argv=None):
                   flush=True)
             evals.append(R.to_dict(ev))
         with open(out_path, "w") as f:
-            json.dump({"iteration": itc, "evaluations": evals}, f, indent=2)
+            json.dump({"iteration": itc, "canary": canary,
+                       "evaluations": evals}, f, indent=2)
     # regenerate the benchmark curve plot from the files just written
     try:
         from ..session.plots import plot_benchmark

@@ -41,6 +41,10 @@ def _build_parser():
                             help="shrink all parameters to minimum")
             sp.add_argument("--seed", type=int, default=0)
             sp.add_argument("--save-intermediate", action="store_true")
+            sp.add_argument("--iters", type=int, default=0,
+                            help="override Params.num_iters")
+            sp.add_argument("--benchmark-every", type=int, default=1,
+                            help="benchmark cadence in iterations")
         if name in ("train", "dummy-run"):
             sp.add_argument(
                 "--mesh", type=int, default=0, metavar="N",
@@ -96,10 +100,17 @@ def main(argv=None):
     from ..session import Session
 
     if args.cmd in ("train", "dummy-run"):
+        if getattr(args, "iters", 0):
+            import dataclasses
+            exp = dataclasses.replace(
+                exp, params=dataclasses.replace(
+                    exp.params, num_iters=args.iters))
         session = Session(exp, dir=args.dir,
                           seed=getattr(args, "seed", 0),
                           save_intermediate=getattr(
                               args, "save_intermediate", False),
+                          benchmark_every=getattr(
+                              args, "benchmark_every", 1),
                           mesh=mesh)
         session.resume()
     elif args.cmd == "replot":

@@ -33,10 +33,14 @@ def main(argv=None):
     from .. import arena as A
     from ..experiments import connect_four
     from ..session import Session
+    from ..utils import canary as canarymod
 
+    canary = canarymod.summary(canarymod.validate_chip())
+    print(f"canary: {canary}")
     exp = connect_four.experiment()
     sess = Session(exp, dir=args.dir, autosave=False, quiet=True)
     env = sess.env
+    assert not sess._fresh, f"no saved session in {args.dir}"
     print(f"Loaded {args.dir} at iteration {env.itc}")
     rng = jax.random.key(20260818)
     results = {}
@@ -60,8 +64,8 @@ def main(argv=None):
             win_rate=p, win_rate_ci95=float(ci))
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"iteration": env.itc, "results": results}, f,
-                      indent=2)
+            json.dump({"iteration": env.itc, "canary": canary,
+                       "results": results}, f, indent=2)
         print(f"Wrote {args.out}")
 
 

@@ -371,6 +371,8 @@ def main(argv=None):
         # eval-only load — fails loudly on an incomplete snapshot dir
         # instead of silently thinking with a fresh random net (ADVICE r3)
         from ..session.session import load_eval_net
+        from ..utils import canary as canarymod
+        print(f"canary: {canarymod.summary(canarymod.validate_chip())}")
         mcts_params = exp.params.arena.mcts
         for name, kind, it in agents:
             done = set(moves_store.get(name, {}))

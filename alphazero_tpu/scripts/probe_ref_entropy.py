@@ -106,17 +106,35 @@ def _wins_at(b, row, col):
 
 
 class Info:
-    """StateInfo (``src/mcts.jl:78-87``): per-action P/W/N + oracle V."""
+    """StateInfo (``src/mcts.jl:78-87``): per-action P/W/N + oracle V.
+
+    ``vstd``/``pstd`` emulate a RANDOM-INIT network oracle: per-state
+    consistent pseudo-random outputs (seeded by the state key), with
+    V ~ tanh(N(0, vstd)) and P = masked softmax of N(0, pstd) logits.
+    The reference's iteration-1 Flux net measurably emits |V| ~ 0.4-0.5
+    (``ui-first-iter.png``: learning-start Lv=1.024 > E[z^2]) while our
+    flax-lecun init emits |V| ~ 0.09 — this probe quantifies how much
+    that alone changes search decisiveness.
+    """
 
     __slots__ = ("P", "W", "N", "V", "legal")
 
-    def __init__(self, legal):
+    def __init__(self, legal, state_key=None, vstd=0.0, pstd=0.0):
         k = int(legal.sum())
         self.legal = legal
-        self.P = np.where(legal, F(1.0 / k), F(0.0))
+        if (vstd or pstd) and state_key is not None:
+            r = np.random.default_rng(abs(hash(state_key)) % (2 ** 63))
+            logits = r.normal(0.0, pstd, COLS).astype(F) if pstd else \
+                np.zeros(COLS, F)
+            logits = np.where(legal, logits, -np.inf)
+            e = np.exp(logits - logits.max())
+            self.P = (e / e.sum()).astype(F)
+            self.V = F(np.tanh(r.normal(0.0, vstd))) if vstd else F(0.0)
+        else:
+            self.P = np.where(legal, F(1.0 / k), F(0.0))
+            self.V = F(0.0)
         self.W = np.zeros(COLS, F)
         self.N = np.zeros(COLS, np.int64)
-        self.V = F(0.0)
 
 
 class RefMCTS:
@@ -128,11 +146,14 @@ class RefMCTS:
     """
 
     def __init__(self, cpuct=2.0, eps=0.25, alpha=1.0, gamma=1.0,
-                 transposition=True, rng=None):
+                 transposition=True, rng=None, vstd=0.0, pstd=0.0):
         self.cpuct, self.eps, self.alpha, self.gamma = cpuct, eps, alpha, gamma
         self.transposition = transposition
         self.tree = {}
         self.rng = rng or np.random.default_rng(0)
+        self.vstd, self.pstd = vstd, pstd
+        self.depth_sum = 0
+        self.sims = 0
 
     def reset(self):
         self.tree.clear()
@@ -141,7 +162,8 @@ class RefMCTS:
         key = game.key() if self.transposition else path
         info = self.tree.get(key)
         if info is None:
-            info = Info(game.legal())
+            info = Info(game.legal(), state_key=game.key(),
+                        vstd=self.vstd, pstd=self.pstd)
             self.tree[key] = info
             return info, True
         return info, False
@@ -156,9 +178,11 @@ class RefMCTS:
 
     def _simulate(self, game, path, eta, root):
         if game.over:
+            self.depth_sum += len(path)
             return F(0.0)
         info, new = self._info(game, path)
         if new:
+            self.depth_sum += len(path)
             return info.V
         a = int(np.argmax(self._scores(info, eta, root)))
         wp = game.player == 0
@@ -178,6 +202,7 @@ class RefMCTS:
         eta = np.zeros(COLS, F)
         eta[legal] = self.rng.dirichlet([self.alpha] * int(legal.sum()))
         for _ in range(nsims):
+            self.sims += 1
             self._simulate(game, (), eta, True)
 
     def policy(self, game):
@@ -196,9 +221,10 @@ def temperature(turn):
     return 1.0 + (turn - 20) / 10.0 * (0.3 - 1.0)
 
 
-def run(regime, num_games, nsims, seed):
+def run(regime, num_games, nsims, seed, vstd=0.0, pstd=0.0):
     rng = np.random.default_rng(seed)
-    mcts = RefMCTS(transposition=regime != "path", rng=rng)
+    mcts = RefMCTS(transposition=regime != "path", rng=rng,
+                   vstd=vstd, pstd=pstd)
     ents, lens = [], []
     stage_ents = defaultdict(list)
     win1 = []
@@ -225,7 +251,8 @@ def run(regime, num_games, nsims, seed):
             turn += 1
         lens.append(turn)
     print(f"regime={regime} games={num_games} sims={nsims} "
-          f"positions={len(ents)}")
+          f"vstd={vstd} pstd={pstd} positions={len(ents)}")
+    print(f"  avg exploration depth {mcts.depth_sum / max(mcts.sims, 1):.2f}")
     print(f"  mean pi entropy     {np.mean(ents):.3f}")
     for s in sorted(stage_ents):
         print(f"    turns {s*7:2d}-{s*7+6:2d}{'+' if s == 4 else ' '}: "
@@ -243,9 +270,14 @@ def main():
     ap.add_argument("--sims", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--regimes", default="path,tt,ttp")
+    ap.add_argument("--vstd", type=float, default=0.0,
+                    help="random-net oracle value-noise std (pre-tanh)")
+    ap.add_argument("--pstd", type=float, default=0.0,
+                    help="random-net oracle prior-logit std")
     args = ap.parse_args()
     for regime in args.regimes.split(","):
-        run(regime, args.games, args.sims, args.seed)
+        run(regime, args.games, args.sims, args.seed,
+            vstd=args.vstd, pstd=args.pstd)
 
 
 if __name__ == "__main__":

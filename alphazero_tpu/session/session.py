@@ -139,6 +139,7 @@ class Session(training.Handlers):
                     "rng": np.asarray(
                         jax.random.key_data(env.rng)).tolist(),
                     "game": e.game.name,
+                    "canary": getattr(self, "canary", "not-run"),
                 }, f, indent=2)
         save_pytree(os.path.join(d, "curnn.npz"), env.curnn)
         save_pytree(os.path.join(d, "bestnn.npz"), env.bestnn)
@@ -232,6 +233,12 @@ class Session(training.Handlers):
 
     def resume(self) -> None:
         """Start or resume training (``resume!``, ``session.jl:310-321``)."""
+        # chip-integrity canary before any number is produced (NOTES.md
+        # round-3 fault history; no-op on CPU runtimes)
+        from ..utils import canary as canarymod
+        self.canary = canarymod.summary(canarymod.validate_chip())
+        if self.canary != "skipped":
+            self.logger.print(f"Chip canary: {self.canary}")
         if self._fresh:
             with self.logger.section("Initial report"):
                 init = training.initial_report(self.env)

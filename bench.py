@@ -78,6 +78,12 @@ def main():
             body, states, jax.random.split(rng, moves))
         return states, jnp.sum(counts)
 
+    # chip-integrity canary: refuse to produce a headline number on a
+    # miscompiling worker (raises CanaryError; NOTES.md round-3 faults)
+    from alphazero_tpu.utils import canary as canarymod
+    canary = canarymod.summary(canarymod.validate_chip())
+    print(f"# canary: {canary}", file=sys.stderr)
+
     s0 = game.init_batch(num_lanes)
     # warmup/compile
     t0 = time.perf_counter()
