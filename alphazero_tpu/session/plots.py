@@ -276,6 +276,7 @@ def plot_benchmark(session_dir: str) -> None:
     if not entries:
         return
     legends = [e["legend"] for e in entries[0]["evaluations"]]
+    stale = any(e.get("minmax_baseline_stale") for e in entries)
     fig, axes = plt.subplots(1, 2, figsize=(11, 4.5))
     for li, legend in enumerate(legends):
         xs, avg, win = [], [], []
@@ -288,8 +289,14 @@ def plot_benchmark(session_dir: str) -> None:
             rewards = ev["rewards"]
             win.append(100.0 * sum(r > 0 for r in rewards)
                        / max(len(rewards), 1))
-        axes[0].plot(xs, avg, marker="o", ms=3, label=legend)
-        axes[1].plot(xs, win, marker="o", ms=3, label=legend)
+        # vs-MinMax series measured against the round-2 degraded baseline
+        # (NOTES.md round 3) render dashed + flagged, not as clean claims
+        kw = {}
+        if stale and "MinMax" in legend:
+            kw = dict(linestyle="--", alpha=0.5)
+            legend += " (STALE baseline)"
+        axes[0].plot(xs, avg, marker="o", ms=3, label=legend, **kw)
+        axes[1].plot(xs, win, marker="o", ms=3, label=legend, **kw)
     axes[0].set_ylabel("average reward")
     axes[1].set_ylabel("% games won")
     axes[1].set_ylim(-2, 102)
