@@ -17,9 +17,13 @@ from . import Experiment
 
 def experiment() -> Experiment:
     game = game_registry()["tictactoe"]
+    # value_init_gain=5: init value-head RMS ~0.37 (measured), giving the
+    # iteration-1 search a decisive, learnable Q signal — same mechanism as
+    # the connect-four flagship (see experiments/connect_four.py and
+    # models/interface.kernel_initializer)
     netspec = SimpleNetSpec(
         width=200, depth_common=6, use_batch_norm=True,
-        batch_norm_momentum=1.0)
+        batch_norm_momentum=1.0, value_init_gain=5.0)
     self_play = SelfPlayParams(
         sim=SimParams(num_games=1000, num_lanes=256),
         mcts=MctsParams(

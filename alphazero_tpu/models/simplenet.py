@@ -32,8 +32,9 @@ class _SimpleNet(nn.Module):
     policy_init_gain: float = 1.0
     value_init_gain: float = 1.0
 
-    def _dense(self, x, out, train):
-        x = nn.Dense(out, kernel_init=kernel_initializer(self.init_scheme))(x)
+    def _dense(self, x, out, train, gain=1.0):
+        x = nn.Dense(out, kernel_init=kernel_initializer(
+            self.init_scheme, gain))(x)
         if self.use_batch_norm:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=self.bn_momentum)(x)
@@ -54,7 +55,11 @@ class _SimpleNet(nn.Module):
                                     self.policy_init_gain))(p), axis=-1)
         v = x
         for _ in range(self.depth_vhead):
-            v = self._dense(v, self.width, train)
+            # gain on the hidden value denses too (as in the ResNet head):
+            # BN after them renormalizes in train mode, but the eval-mode
+            # init statistics — what the iteration-1 search sees — scale
+            v = self._dense(v, self.width, train,
+                            gain=self.value_init_gain)
         v = nn.tanh(nn.Dense(1, kernel_init=kernel_initializer(
             self.init_scheme, self.value_init_gain))(v))
         return p, v[..., 0]
