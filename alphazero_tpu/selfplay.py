@@ -19,6 +19,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .envs import core as envcore
 from .envs.core import Game
@@ -240,20 +241,22 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
     reuse = (not isinstance(cfg, gumbel.GumbelConfig)
              and getattr(cfg, "reuse_tree", False))
 
-    count_done_jit = jax.jit(
-        lambda states: jnp.sum(jax.vmap(game.terminated)(states)
-                               .astype(jnp.int32)))
+    done_stats_jit = jax.jit(
+        lambda states: (jax.vmap(game.terminated)(states),
+                        jax.vmap(game.reward)(states)))
 
     from .utils import watchdog as WD
     steady = WD.dispatch_timeout()
     warmed = set()
 
     def run(net, rng, on_progress=None) -> TraceBatch:
-        """``on_progress(newly_finished_games)`` fires after every segment
-        dispatch — the per-game completion granularity the reference's
-        ``Handlers.game_played`` relay has (``src/simulations.jl:258-266``),
-        quantized to segment boundaries by the lockstep design."""
-        ndone_prev = 0
+        """``on_progress(newly_finished_games, rewards)`` fires after every
+        segment dispatch with the white-POV final-transition rewards of the
+        games that just ended — the per-game measurement relay of the
+        reference's ``Handlers.game_played`` path
+        (``src/simulations.jl:258-266``), quantized to segment boundaries
+        by the lockstep design."""
+        done_prev = np.zeros((B,), bool)
         rng, init_key = jax.random.split(rng)
         carry = _init_carry(game, cfg, B, reuse, init_key)
         if mesh is not None:
@@ -278,11 +281,14 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
                 trs.append(tr)
                 # host-level early exit the fused scan couldn't do: stop
                 # searching once every lane's game has ended
-                ndone = int(count_done_jit(carry[0]))
+                done, rew = done_stats_jit(carry[0])
+                done = np.asarray(done)
+                ndone = int(done.sum())
             warmed.add(e - s)
-            if on_progress is not None and ndone > ndone_prev:
-                on_progress(ndone - ndone_prev)
-                ndone_prev = ndone
+            new = done & ~done_prev
+            if on_progress is not None and new.any():
+                on_progress(int(new.sum()), np.asarray(rew)[new])
+                done_prev = done
             if e < L and ndone == B:
                 break
         tr = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *trs)

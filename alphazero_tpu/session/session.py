@@ -307,9 +307,12 @@ class Session(training.Handlers):
         self.logger.print("Self-play in progress...")
         self._sp_done = 0
         self._sp_bar_done = False
+        self._sp_rewards: List[float] = []
         self._sp_total = env.params.self_play.sim.num_games
 
-    def game_played(self, env):
+    def game_played(self, env, reward=None):
+        if reward is not None:
+            self._sp_rewards.append(reward)
         # in-place progress line (per completed game, like the reference's
         # ProgressMeter relay, ``session.jl:476``); stderr only so log
         # files stay clean.  Emitted only by the main process and only when
@@ -331,8 +334,16 @@ class Session(training.Handlers):
                   end="\n" if n == tot else "", file=sys.stderr, flush=True)
 
     def self_play_finished(self, env, rep: R.SelfPlay):
+        rews = getattr(self, "_sp_rewards", [])
+        extra = []
+        if rews:  # per-game measurement relay (``simulations.jl:258-266``)
+            n = len(rews)
+            extra = [["white w/d/l %",
+                      f"{100*sum(r > 0 for r in rews)/n:.0f}"
+                      f" / {100*sum(r == 0 for r in rews)/n:.0f}"
+                      f" / {100*sum(r < 0 for r in rews)/n:.0f}"]]
         with self.logger.section("Self-play finished"):
-            self.logger.table(["metric", "value"], [
+            self.logger.table(["metric", "value"], extra + [
                 ["samples/second", f"{rep.samples_gen_speed:.1f}"],
                 ["avg exploration depth",
                  f"{rep.average_exploration_depth:.2f}"],

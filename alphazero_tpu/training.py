@@ -34,7 +34,7 @@ class Handlers:
 
     def iteration_started(self, env): pass
     def self_play_started(self, env): pass
-    def game_played(self, env): pass
+    def game_played(self, env, reward=None): pass
     def self_play_finished(self, env, report): pass
     def memory_analyzed(self, env, report): pass
     def learning_started(self, env): pass
@@ -161,11 +161,13 @@ def self_play_step(env: AZEnv, handlers: Handlers) -> R.SelfPlay:
     t0 = time.perf_counter()
     total_moves = 0
     depth_sum, sims_sum = 0, 0
-    def on_progress(n):
-        # one callback per completed game (``simulations.jl:258-266``),
-        # delivered at segment-dispatch granularity
-        for _ in range(n):
-            handlers.game_played(env)
+    def on_progress(n, rewards=None):
+        # one callback per completed game with its white-POV measurement
+        # (``simulations.jl:258-266``), delivered at segment-dispatch
+        # granularity
+        for i in range(n):
+            handlers.game_played(
+                env, reward=None if rewards is None else float(rewards[i]))
 
     for _ in range(p.sim.num_rounds):
         tb = run(env.bestnn, env.next_key(), on_progress)
