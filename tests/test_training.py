@@ -297,3 +297,41 @@ def test_rollout_duel_lane_guard():
     assert A.rollout_safe_sim(sim, full, full).num_lanes == 256
     assert A.rollout_safe_sim(sim, full, roll100).num_lanes == 256
     assert A.rollout_safe_sim(sim, full, None).num_lanes == 256
+
+
+def test_flagship_init_value_head_is_decisive():
+    """The iteration-1 takeoff depends on the init value head emitting a
+    decisive (RMS ~0.3-0.6) per-state-consistent signal — the reference's
+    measured init statistic (ui-first-iter.png; NOTES.md round 4).  Guard
+    it: a silent return to a value-silent init (RMS ~0.09) would regress
+    the whole learning trajectory without failing any semantics test."""
+    import jax
+    import numpy as np
+
+    from alphazero_tpu import experiments
+    from alphazero_tpu.models.interface import Network
+
+    exp = experiments.registry()["connect-four"]
+    assert exp.netspec.value_init_gain >= 2.0
+    game = exp.game
+    net = Network(game, exp.netspec)
+    st = net.init(jax.random.key(3))
+    s = game.init_batch(64, jax.random.key(0))
+    # spread the batch: play 8 uniform-random moves
+    for i in range(8):
+        k = jax.random.fold_in(jax.random.key(1), i)
+        mask = jax.vmap(game.legal_mask)(s)
+        import jax.numpy as jnp
+        a = jax.random.categorical(k, jnp.where(mask, 0.0, -1e9))
+        done = jax.vmap(game.terminated)(s)
+        s2 = jax.vmap(game.step)(s, a, jax.random.split(k, 64))
+        s = jax.tree.map(lambda n_, o: jnp.where(
+            done.reshape((-1,) + (1,) * (n_.ndim - 1)), o, n_), s2, s)
+    obs = jax.vmap(game.observe)(s)
+    mask = jax.vmap(game.legal_mask)(s)
+    _, _, v, _ = net.forward_normalized(st, obs, mask)
+    rms = float(np.sqrt((np.asarray(v) ** 2).mean()))
+    assert 0.15 < rms < 1.0, rms
+    # and deterministic per state (an oracle property the search relies on)
+    _, _, v2, _ = net.forward_normalized(st, obs, mask)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
