@@ -223,7 +223,10 @@ def think_player(name, think, benches, game, lanes: int,
     out = {} if moves_store is None else moves_store.setdefault(name, {})
     for b in benches:
         bkey = f"{b.stage}/{b.difficulty}"
-        if bkey in out:
+        # stored moves are aligned with the bucket-file prefix, so a
+        # previous full run covers any --limit'ed rerun; rethink only
+        # when the store has FEWER positions than requested
+        if len(out.get(bkey, [])) >= len(b.entries):
             continue
         t0 = time.time()
         states = _states_batch(b.entries)
@@ -245,6 +248,11 @@ def score_moves(name, moves_by_bucket, benches, cache: SolveCache,
     for b in benches:
         bkey = f"{b.stage}/{b.difficulty}"
         moves = moves_by_bucket[bkey]
+        if len(moves) < len(b.entries):
+            raise SystemExit(
+                f"stored moves for {name} ({bkey}) cover only "
+                f"{len(moves)}/{len(b.entries)} positions; rerun the think "
+                f"phase (or pass --limit {len(moves)})")
         t0 = time.time()
         n_err = n_skip = 0
         for (mstr, score), a in zip(b.entries, moves):
@@ -326,6 +334,11 @@ def main(argv=None):
                     help="comma-separated agent order/filter, e.g. "
                          "'alphazero,minmax' (default: minmax, alphazero, "
                          "then per-iteration snapshots)")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="cap positions per bucket (0 = all 1000); makes "
+                         "per-iteration training sweeps affordable — the "
+                         "bucket files are pre-shuffled so a prefix is an "
+                         "unbiased subsample")
     ap.add_argument("--out", default=None)
     ap.add_argument("--cache", default="sessions/pons_solve_cache.json")
     args = ap.parse_args(argv)
@@ -335,6 +348,9 @@ def main(argv=None):
         keep = set(args.buckets.split(","))
         benches = [b for b in benches
                    if f"{b.stage}/{b.difficulty}" in keep]
+    if args.limit:
+        benches = [dataclasses.replace(b, entries=b.entries[:args.limit])
+                   for b in benches]
 
     moves_path = os.path.join(args.session_dir, "pons-moves.json")
     moves_store: dict = {}
@@ -440,6 +456,8 @@ def main(argv=None):
                 results["alphazero_training"])
             payload["buckets"] = bucket_keys
             payload["node_limit"] = args.node_limit
+            payload["positions_per_bucket"] = (
+                args.limit or max(len(b.entries) for b in benches))
             with open(out, "w") as f:
                 json.dump(payload, f, indent=2)
 

@@ -241,9 +241,18 @@ def make_segmented_self_play(game: Game, network_fwd, cfg,
     reuse = (not isinstance(cfg, gumbel.GumbelConfig)
              and getattr(cfg, "reuse_tree", False))
 
-    done_stats_jit = jax.jit(
-        lambda states: (jax.vmap(game.terminated)(states),
-                        jax.vmap(game.reward)(states)))
+    _done_stats = lambda states: (jax.vmap(game.terminated)(states),
+                                  jax.vmap(game.reward)(states))
+    if mesh is not None:
+        # per-lane outputs must be readable on EVERY controller process:
+        # force replication (XLA inserts the all-gather) — the natural
+        # input sharding would span non-addressable devices and np.asarray
+        # on it throws under the multi-controller runtime
+        from jax.sharding import NamedSharding, PartitionSpec
+        _rep = NamedSharding(mesh, PartitionSpec())
+        done_stats_jit = jax.jit(_done_stats, out_shardings=(_rep, _rep))
+    else:
+        done_stats_jit = jax.jit(_done_stats)
 
     from .utils import watchdog as WD
     steady = WD.dispatch_timeout()
