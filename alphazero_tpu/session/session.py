@@ -442,8 +442,18 @@ def load_eval_net(experiment: Experiment, dir: str) -> "EvalSnapshot":
                 "--save-intermediate to create per-iteration snapshots)")
     with open(os.path.join(dir, "netspec.json")) as f:
         saved_spec = NetworkSpec.from_json(json.load(f)).to_json()
-    if (json.loads(json.dumps(saved_spec))
-            != json.loads(json.dumps(experiment.netspec.to_json()))):
+
+    def arch_only(spec_json):
+        # init_* fields parameterize INITIALIZATION only — a loaded
+        # checkpoint's weights and forward pass are unaffected, and
+        # pre-round-4 snapshots predate the fields entirely, so eval
+        # loading compares architecture modulo them
+        d = json.loads(json.dumps(spec_json))
+        for k in ("init_scheme", "policy_init_gain", "value_init_gain"):
+            d.pop(k, None)
+        return d
+
+    if arch_only(saved_spec) != arch_only(experiment.netspec.to_json()):
         raise ValueError(
             f"snapshot {dir} was created with a different network spec: "
             f"{saved_spec} != {experiment.netspec.to_json()}")
