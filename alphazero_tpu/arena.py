@@ -367,24 +367,31 @@ def run_benchmark_item(game: Game, netspec: Optional[NetworkSpec],
         time=_time.perf_counter() - t0)
 
 
-#: sims x lanes ceiling for rollout-oracle duel programs (see
-#: :func:`rollout_safe_sim`).
+#: sims x lanes ceiling for rollout-oracle duel programs at the bisected
+#: 42-ply game (see :func:`rollout_safe_sim`).
 ROLLOUT_LANE_BUDGET = 128_000
+_ROLLOUT_BUDGET_PLIES = 42
 
 
-def rollout_safe_sim(sim: cfgmod.SimParams, *specs) -> cfgmod.SimParams:
+def rollout_safe_sim(sim: cfgmod.SimParams, *specs,
+                     game: Optional[Game] = None) -> cfgmod.SimParams:
     """Enforced guard for a bisected TPU-worker fault
     (scripts/repro_duel256.py, NOTES.md): rollout-oracle searches crash
-    the worker once ``sims x lanes`` grows past ~128k — 1000-sim rollout
-    trees fault at 256 lanes but run at 128, 100-sim trees are fine at
-    256 — while network-search programs are clean at 256+ lanes.  Chunk
-    the lane count (power of two) for oversized rollout programs;
+    the worker once the program scale grows past ~128k sims x lanes on
+    connect-four — 1000-sim rollout trees fault at 256 lanes but run at
+    128, 100-sim trees are fine at 256 — while network-search programs
+    are clean at 256+ lanes.  Each rollout leaf evaluation scans to the
+    end of the game, so the budget is ply-scaled: mancala (120 plies)
+    crashed the worker at the exact c4-safe 1000 x 128 shape (round 4).
+    Chunk the lane count (power of two) for oversized rollout programs;
     ``SimParams.num_rounds`` scales up so ``num_games`` is unchanged."""
     rollout_sims = max(
         (s.mcts.num_iters_per_turn for s in specs
          if isinstance(s, MctsRollouts)), default=0)
-    if rollout_sims and sim.num_lanes * rollout_sims > ROLLOUT_LANE_BUDGET:
-        safe = max(1, ROLLOUT_LANE_BUDGET // rollout_sims)
+    plies = game.max_game_length if game is not None else _ROLLOUT_BUDGET_PLIES
+    budget_units = ROLLOUT_LANE_BUDGET * _ROLLOUT_BUDGET_PLIES
+    if rollout_sims and sim.num_lanes * rollout_sims * plies > budget_units:
+        safe = max(1, budget_units // (rollout_sims * plies))
         safe = max(1, 1 << (safe.bit_length() - 1))  # power-of-two lanes
         if safe < sim.num_lanes:
             sim = dataclasses.replace(sim, num_lanes=safe)
@@ -412,7 +419,7 @@ def play_duel(game: Game, netspec: Optional[NetworkSpec], spec_a: PlayerSpec,
     from .utils import watchdog as WD
     if netspec_b is None:
         netspec_b = netspec
-    sim = rollout_safe_sim(sim, spec_a, spec_b)
+    sim = rollout_safe_sim(sim, spec_a, spec_b, game=game)
     if mesh is not None:
         from .parallel import put_replicated
         net_a = put_replicated(mesh, net_a)

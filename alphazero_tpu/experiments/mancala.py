@@ -23,8 +23,17 @@ def experiment(num_lanes: int = 1024) -> Experiment:
         arena=dataclasses.replace(
             base.params.arena,
             sim=base.params.arena.sim.replace(flip_probability=0.0)))
+    # Divergence from the reference benchmark set (which copies c4's,
+    # incl. MctsRollouts-1000): mancala ROLLOUT-oracle duel programs
+    # reproducibly fault the TPU worker — at the c4-safe 1000x128 shape
+    # AND at 32 lanes under the ply-scaled guard (round 4) — the same
+    # environmental fault family as repro_duel256.py; its 120-ply
+    # rollout-to-the-end leaf scans over the sowing loop are a far bigger
+    # program than c4's.  Network-search and minmax duel programs are
+    # clean, so the benchmark keeps the MinMaxTS duels (128 games).
     benchmark = tuple(
-        dataclasses.replace(b, sim=b.sim.replace(flip_probability=0.0))
+        dataclasses.replace(b, sim=b.sim.replace(flip_probability=0.0,
+                                                 num_games=128))
         for b in base.benchmark
-        if not isinstance(b.baseline, A.MinMaxTS) or True)
+        if isinstance(b.baseline, A.MinMaxTS))
     return Experiment("mancala", game, params, base.netspec, benchmark)

@@ -298,6 +298,16 @@ def test_rollout_duel_lane_guard():
     assert A.rollout_safe_sim(sim, full, roll100).num_lanes == 256
     assert A.rollout_safe_sim(sim, full, None).num_lanes == 256
 
+    # the budget is ply-scaled: rollout leaves scan to the end of the
+    # game, and mancala (120 plies) crashed the worker at the exact
+    # c4-safe 1000x128 shape (round 4)
+    from alphazero_tpu.envs import registry
+    m = registry()["mancala"]
+    c4 = registry()["connect-four"]
+    sim128 = SimParams(num_games=128, num_lanes=128)
+    assert A.rollout_safe_sim(sim128, roll1000, game=m).num_lanes == 32
+    assert A.rollout_safe_sim(sim128, roll1000, game=c4).num_lanes == 128
+
 
 def test_flagship_init_value_head_is_decisive():
     """The iteration-1 takeoff depends on the init value head emitting a
