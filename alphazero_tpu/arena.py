@@ -250,7 +250,8 @@ def _duel_program(game: Game, netspec_a: Optional[NetworkSpec],
                   netspec_b: Optional[NetworkSpec],
                   spec_a: PlayerSpec, spec_b: Optional[PlayerSpec],
                   num_lanes: int, alternate_colors: bool,
-                  flip_probability: float, gamma: float, mesh=None):
+                  flip_probability: float, gamma: float, mesh=None,
+                  segment_moves: int = 8):
     """Compile a program playing ``num_lanes`` games of spec_a vs spec_b.
 
     For one-player games (or ``spec_b is None``) player A makes every move.
@@ -259,6 +260,13 @@ def _duel_program(game: Game, netspec_a: Optional[NetworkSpec],
     both think functions are evaluated each turn and the mover's policy is
     selected per lane, so cross-architecture duels need no extra machinery.
     With ``mesh``, lanes shard over the ``data`` axis (see selfplay.py).
+
+    Like self-play, the move loop dispatches in ``segment_moves`` chunks
+    with an all-games-done early exit: one fused ``max_game_length`` duel
+    program crashes the TPU worker on long games (mancala's 120-ply duels
+    faulted at every lane count while its segmented self-play ran clean —
+    round 4, same fault family as NOTES.md's fused self-play program).
+    The math and RNG stream are identical to the fused formulation.
     """
     think_a, _ = spec_a.make_think(game, netspec_a)
     think_b, _ = (spec_b.make_think(game, netspec_b) if spec_b is not None
@@ -270,10 +278,7 @@ def _duel_program(game: Game, netspec_a: Optional[NetworkSpec],
     else:
         a_is_white = jnp.ones((B,), bool)
 
-    @jax.jit
-    def run(net_a, net_b, rng):
-        rng, init_key = jax.random.split(rng)
-        s0 = game.init_batch(B, init_key)
+    def _seg(net_a, net_b, carry, turns, keys):
 
         def move(carry, inp):
             s, disc, total = carry
@@ -314,12 +319,43 @@ def _duel_program(game: Game, netspec_a: Optional[NetworkSpec],
             keys_now = jax.vmap(game.canonical_key)(s)
             return (s2, disc, total), (keys_now, ~done)
 
-        (sf, _, wr), (state_keys, valid) = jax.lax.scan(
-            move, (s0, jnp.ones((B,)), jnp.zeros((B,))),
-            (jnp.arange(L), jax.random.split(rng, L)))
+        return jax.lax.scan(move, carry, (turns, keys))
+
+    seg_jit = jax.jit(_seg)
+    count_done_jit = jax.jit(
+        lambda s: jnp.sum(jax.vmap(game.terminated)(s).astype(jnp.int32)))
+    fin_jit = jax.jit(lambda keys, valid: _redundancy(
+        keys.reshape(L * B, -1), valid.reshape(L * B)))
+
+    def run(net_a, net_b, rng):
+        rng, init_key = jax.random.split(rng)
+        s0 = game.init_batch(B, init_key)
+        keys = jax.random.split(rng, L)
+        carry = (s0, jnp.ones((B,)), jnp.zeros((B,)))
+        kblocks, vblocks = [], []
+        for si in range(0, L, segment_moves):
+            e = min(si + segment_moves, L)
+            carry, (sk, va) = seg_jit(net_a, net_b, carry,
+                                      jnp.arange(si, e), keys[si:e])
+            kblocks.append(sk)
+            vblocks.append(va)
+            # host-level early exit once every lane's game has ended —
+            # the skipped tail contributes only invalid rows
+            if e < L and int(count_done_jit(carry[0])) == B:
+                break
+        state_keys = jnp.concatenate(kblocks, 0)
+        valid = jnp.concatenate(vblocks, 0)
+        l = state_keys.shape[0]
+        if l < L:  # pad to one static finalizer shape
+            state_keys = jnp.concatenate([
+                state_keys,
+                jnp.zeros((L - l,) + state_keys.shape[1:],
+                          state_keys.dtype)], 0)
+            valid = jnp.concatenate(
+                [valid, jnp.zeros((L - l, B), bool)], 0)
+        _, _, wr = carry
         rewards_a = jnp.where(a_is_white, wr, -wr)
-        redundancy = _redundancy(state_keys.reshape(L * B, -1),
-                                 valid.reshape(L * B))
+        redundancy = fin_jit(state_keys, valid)
         return DuelResult(rewards=rewards_a, redundancy=redundancy,
                           num_moves=jnp.sum(valid.astype(jnp.int32), 0))
 
