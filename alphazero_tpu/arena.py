@@ -140,13 +140,20 @@ class NetworkOnly(PlayerSpec):
 @dataclasses.dataclass(frozen=True)
 class MctsRollouts(PlayerSpec):
     """Vanilla MCTS with random rollouts (``Benchmark.MctsRollouts``,
-    ``src/benchmark.jl:156-166``)."""
+    ``src/benchmark.jl:156-166``).
+
+    ``max_playout_plies`` truncates the playout scan with a heuristic
+    bootstrap (see :func:`search.mcts.rollout_oracle`) — needed on games
+    whose full-length playout program exceeds this worker's envelope
+    (mancala; NOTES.md round-4 re-bisect)."""
 
     mcts: cfgmod.MctsParams
+    max_playout_plies: Optional[int] = None
 
     def make_think(self, game, netspec):
         cfg = mcts_config(self.mcts)
-        oracle = mcts.rollout_oracle(game, gamma=self.mcts.gamma)
+        oracle = mcts.rollout_oracle(game, gamma=self.mcts.gamma,
+                                     max_plies=self.max_playout_plies)
 
         def think(net, states, turn, rng):
             return search_pi_sample(game, oracle, states, rng, cfg,
@@ -339,9 +346,13 @@ def _duel_program(game: Game, netspec_a: Optional[NetworkSpec],
                                       jnp.arange(si, e), keys[si:e])
             kblocks.append(sk)
             vblocks.append(va)
-            # host-level early exit once every lane's game has ended —
-            # the skipped tail contributes only invalid rows
-            if e < L and int(count_done_jit(carry[0])) == B:
+            # host-level early exit once every lane's game has ended — the
+            # skipped tail contributes only invalid rows.  The probe forces a
+            # host sync per segment, so skip it while too few plies have been
+            # played for a full batch of games to have plausibly all finished
+            # (all-B-done before L/3 plies has never been observed for any
+            # in-repo game at production lane counts).
+            if e < L and e >= L // 3 and int(count_done_jit(carry[0])) == B:
                 break
         state_keys = jnp.concatenate(kblocks, 0)
         valid = jnp.concatenate(vblocks, 0)
@@ -403,31 +414,51 @@ def run_benchmark_item(game: Game, netspec: Optional[NetworkSpec],
         time=_time.perf_counter() - t0)
 
 
-#: sims x lanes ceiling for rollout-oracle duel programs at the bisected
-#: 42-ply game (see :func:`rollout_safe_sim`).
-ROLLOUT_LANE_BUDGET = 128_000
-_ROLLOUT_BUDGET_PLIES = 42
+#: longest rollout playout scan validated clean on this worker: 42-ply
+#: connect-four playouts at 1000 sims x 256 lanes ran segmented duels
+#: without a fault (NOTES.md round-4 re-bisect), while mancala's 120-ply
+#: playout scan crashed the worker at EVERY lane count tried (128, 32).
+ROLLOUT_VALIDATED_PLIES = 42
+#: sims x lanes ceiling validated at that playout length.
+ROLLOUT_LANE_BUDGET = 256_000
 
 
 def rollout_safe_sim(sim: cfgmod.SimParams, *specs,
-                     game: Optional[Game] = None) -> cfgmod.SimParams:
-    """Enforced guard for a bisected TPU-worker fault
-    (scripts/repro_duel256.py, NOTES.md): rollout-oracle searches crash
-    the worker once the program scale grows past ~128k sims x lanes on
-    connect-four — 1000-sim rollout trees fault at 256 lanes but run at
-    128, 100-sim trees are fine at 256 — while network-search programs
-    are clean at 256+ lanes.  Each rollout leaf evaluation scans to the
-    end of the game, so the budget is ply-scaled: mancala (120 plies)
-    crashed the worker at the exact c4-safe 1000 x 128 shape (round 4).
-    Chunk the lane count (power of two) for oversized rollout programs;
-    ``SimParams.num_rounds`` scales up so ``num_games`` is unchanged."""
-    rollout_sims = max(
-        (s.mcts.num_iters_per_turn for s in specs
-         if isinstance(s, MctsRollouts)), default=0)
-    plies = game.max_game_length if game is not None else _ROLLOUT_BUDGET_PLIES
-    budget_units = ROLLOUT_LANE_BUDGET * _ROLLOUT_BUDGET_PLIES
-    if rollout_sims and sim.num_lanes * rollout_sims * plies > budget_units:
-        safe = max(1, budget_units // (rollout_sims * plies))
+                     game: Game) -> cfgmod.SimParams:
+    """Guard for the bisected TPU-worker fault family in rollout-oracle
+    duel programs (scripts/repro_duel256.py, NOTES.md rounds 2-4).
+
+    The round-4 re-bisect identified the playout scan LENGTH inside the
+    search program as the faulting variable — not the sims x lanes
+    product (c4 1000x256x42 runs; mancala 1000x32x120 crashes).  Two
+    checks follow:
+
+    * playout length over :data:`ROLLOUT_VALIDATED_PLIES`: lane chunking
+      demonstrably does NOT help, so the guard refuses to mutate the sim
+      and instead warns — the spec should set
+      ``MctsRollouts.max_playout_plies`` (heuristic-bootstrapped
+      truncation) as the mancala experiment does.
+    * sims x lanes over :data:`ROLLOUT_LANE_BUDGET` (the validated
+      envelope at <=42 plies): chunk lanes (power of two);
+      ``SimParams.num_rounds`` scales up so ``num_games`` is unchanged.
+    """
+    rollout = [s for s in specs if isinstance(s, MctsRollouts)]
+    if not rollout:
+        return sim
+    rollout_sims = max(s.mcts.num_iters_per_turn for s in rollout)
+    plies = max(
+        min(s.max_playout_plies or game.max_game_length,
+            game.max_game_length) for s in rollout)
+    if plies > ROLLOUT_VALIDATED_PLIES:
+        import warnings
+        warnings.warn(
+            f"rollout playout scan of {plies} plies exceeds the "
+            f"validated {ROLLOUT_VALIDATED_PLIES}-ply envelope on this "
+            f"worker and is known to fault it at any lane count; set "
+            f"MctsRollouts.max_playout_plies (NOTES.md round-4 re-bisect)",
+            stacklevel=2)
+    if sim.num_lanes * rollout_sims > ROLLOUT_LANE_BUDGET:
+        safe = max(1, ROLLOUT_LANE_BUDGET // rollout_sims)
         safe = max(1, 1 << (safe.bit_length() - 1))  # power-of-two lanes
         if safe < sim.num_lanes:
             sim = dataclasses.replace(sim, num_lanes=safe)

@@ -217,9 +217,11 @@ def think_player(name, think, benches, game, lanes: int,
     the (CPU-only) solver grinds in parallel; results persist in
     ``moves_store[name]``.
     """
+    import zlib
+
     import jax
     runner = _batched_argmax_player(game, think, lanes)
-    rng = jax.random.key(7)
+    base_key = jax.random.key(7)
     out = {} if moves_store is None else moves_store.setdefault(name, {})
     for b in benches:
         bkey = f"{b.stage}/{b.difficulty}"
@@ -230,7 +232,11 @@ def think_player(name, think, benches, game, lanes: int,
             continue
         t0 = time.time()
         states = _states_batch(b.entries)
-        rng, sub = jax.random.split(rng)
+        # deterministic per-bucket key (ADVICE r4): fold the bucket name
+        # into the base key so which buckets were already stored/skipped
+        # cannot shift another bucket's RNG stream — a resumed partial run
+        # reproduces a fresh full run exactly
+        sub = jax.random.fold_in(base_key, zlib.crc32(bkey.encode()))
         out[bkey] = [int(a) for a in runner(states, sub)]
         print(f"  think {name} ({bkey}): {time.time() - t0:.0f}s",
               flush=True)
@@ -456,8 +462,14 @@ def main(argv=None):
                 results["alphazero_training"])
             payload["buckets"] = bucket_keys
             payload["node_limit"] = args.node_limit
+            # per-bucket counts (ADVICE r4): a scalar max overstates
+            # coverage for smaller buckets and crashes on an empty
+            # --buckets filter
+            counts = {f"{b.stage}/{b.difficulty}": len(b.entries)
+                      for b in benches}
+            payload["positions_by_bucket"] = counts
             payload["positions_per_bucket"] = (
-                args.limit or max(len(b.entries) for b in benches))
+                max(counts.values()) if counts else 0)
             with open(out, "w") as f:
                 json.dump(payload, f, indent=2)
 

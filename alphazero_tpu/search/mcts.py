@@ -853,13 +853,28 @@ def random_oracle(game: Game) -> Oracle:
 
 
 def rollout_oracle(game: Game, gamma: float = 1.0,
-                   rng_seed: int = 0) -> Oracle:
+                   rng_seed: int = 0,
+                   max_plies: Optional[int] = None) -> Oracle:
     """Uniform prior; value from one random playout — the "vanilla MCTS"
     oracle (``MCTS.RolloutOracle``, ``src/mcts.jl:28-60``).
 
     The playout is a ``scan`` of masked random steps over the maximum game
     length, with rewards discounted from the evaluated state onward.
+
+    ``max_plies`` truncates the playout: when set and the game has not ended
+    after that many random plies, the leaf value is bootstrapped from
+    ``game.heuristic_value`` squashed through tanh (white POV, discounted
+    like a terminal reward).  This is a deviation from the reference's
+    play-to-the-end oracle, used where the full-length playout scan exceeds
+    this TPU worker's program envelope (mancala's 120-ply sowing scan
+    reproducibly faults the worker at ANY lane count, while ≤42-ply scans
+    are validated clean on-chip — NOTES.md round-4 re-bisect).
     """
+    if (max_plies is not None and max_plies < game.max_game_length
+            and game.heuristic_value is None):
+        raise ValueError(
+            f"rollout_oracle(max_plies={max_plies}) needs "
+            f"game.heuristic_value to bootstrap truncated playouts")
 
     def fn(states, obs, mask):
         del obs
@@ -900,8 +915,19 @@ def rollout_oracle(game: Game, gamma: float = 1.0,
 
         init = (states, jnp.ones((B,), jnp.float32),
                 jnp.zeros((B,), jnp.float32), keys0)
-        (_, _, wr, _), _ = jax.lax.scan(
-            body, init, None, length=game.max_game_length)
+        length = game.max_game_length
+        if max_plies is not None:
+            length = min(max_plies, length)
+        (s_end, disc, wr, _), _ = jax.lax.scan(
+            body, init, None, length=length)
+        if length < game.max_game_length:
+            # heuristic bootstrap of unfinished playouts: current-player
+            # heuristic -> white POV, squashed to the terminal-reward range
+            alive = ~jax.vmap(game.terminated)(s_end)
+            hv = jax.vmap(game.heuristic_value)(s_end)
+            hv_white = jnp.where(
+                jax.vmap(game.to_play)(s_end) == envcore.WHITE, hv, -hv)
+            wr = wr + jnp.where(alive, disc * jnp.tanh(hv_white), 0.0)
         white = jax.vmap(game.to_play)(states) == envcore.WHITE
         return p, jnp.where(white, wr, -wr)
 

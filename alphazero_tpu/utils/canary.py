@@ -246,9 +246,10 @@ def _check_rollout_guard(dev) -> CheckResult:
     t0 = time.time()
     from .. import arena
     from .. import config as cfgmod
+    from ..envs import registry
     sim = cfgmod.SimParams(num_games=256, num_lanes=256)
     spec = arena.MctsRollouts(cfgmod.MctsParams(num_iters_per_turn=1000))
-    safe = arena.rollout_safe_sim(sim, spec)
+    safe = arena.rollout_safe_sim(sim, spec, game=registry()["connect-four"])
     ok = (safe.num_lanes * 1000 <= arena.ROLLOUT_LANE_BUDGET
           and safe.num_games == sim.num_games)
     return CheckResult(

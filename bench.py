@@ -19,6 +19,27 @@ import jax.numpy as jnp
 
 BASELINE_SAMPLES_PER_S = 52.0  # reference, 128 filters, RTX 2070
 
+# bf16 peak matmul throughput per chip, by jax device_kind prefix.  Sources:
+# public TPU spec sheets (v5e 197 TFLOP/s bf16, v5p 459, v4 275, v6e 918).
+PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p ("TPU v5" without "lite")
+    "TPU v4": 275e12,
+    "TPU v6": 918e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _device_peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "")
+    # longest matching prefix wins ("TPU v5 lite" before "TPU v5")
+    best = None
+    for k, v in PEAK_BF16_FLOPS.items():
+        if kind.startswith(k) and (best is None or len(k) > best[0]):
+            best = (len(k), v)
+    return best[1] if best else None
+
 
 def main():
     num_lanes = int(os.environ.get("BENCH_LANES", "1024"))
@@ -96,11 +117,36 @@ def main():
     n = int(jax.block_until_ready(n))
     elapsed = time.perf_counter() - t0
     samples_per_s = n / elapsed
+
+    # MFU: model FLOPs per generated sample / device bf16 peak.  Each search
+    # runs num_sims leaf evaluations over all lanes plus the root evaluation,
+    # so one sample (move) costs (num_sims + 1) network forwards.  FLOPs per
+    # forward come from XLA's own cost model on the jitted forward at the
+    # production batch width (counts the MXU matmul/conv work; excludes the
+    # tree-descent overhead, which is the convention for *model* FLOPs
+    # utilisation).  Peak: PEAK_BF16_FLOPS by device kind.
+    fwd = jax.jit(lambda o, m: network.forward_normalized(net, o, m))
+    obs = jax.vmap(game.observe)(s0)
+    mask = jax.vmap(game.legal_mask)(s0)
+    cost = fwd.lower(obs, mask).compile().cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0] if cost else {}
+    flops_per_fwd = float(cost.get("flops", 0.0)) / num_lanes
+    peak = _device_peak_flops(jax.devices()[0])
+    evals_per_sample = num_sims + 1
+    model_flops_per_s = samples_per_s * evals_per_sample * flops_per_fwd
+    mfu = (model_flops_per_s / peak) if (peak and flops_per_fwd > 0) else None
+    print(f"# mfu: flops/fwd={flops_per_fwd/1e6:.1f}M x "
+          f"{evals_per_sample} evals/sample x {samples_per_s:.0f} samples/s"
+          f" = {model_flops_per_s/1e12:.1f} TFLOP/s model compute; "
+          f"peak={peak/1e12:.0f}T" if peak else "# mfu: unknown device peak",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "selfplay_samples_per_s_c4_resnet5x128_600sims",
         "value": round(samples_per_s, 2),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }))
     print(f"# lanes={num_lanes} sims={num_sims} moves={moves} "
           f"samples={n} elapsed={elapsed:.1f}s "

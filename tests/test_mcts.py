@@ -382,3 +382,47 @@ def test_onehot_gather_is_bit_identical():
                                   np.asarray(outs[1].policy))
     np.testing.assert_array_equal(np.asarray(outs[0].tree.stats),
                                   np.asarray(outs[1].tree.stats))
+
+
+def test_truncated_rollout_oracle_bootstrap():
+    """max_plies truncation: a 0-ply "playout" must return exactly the
+    tanh-squashed white-POV heuristic; a full-length max_plies reproduces
+    the untruncated oracle bit-for-bit; terminated states stay value-0."""
+    M = envs.registry()["mancala"]
+    B = 8
+    states = M.init_batch(B)
+    # play a few deterministic moves so heuristics are nonzero
+    rng = jax.random.key(3)
+    for a in (0, 2, 4):
+        acts = jnp.full((B,), a)
+        rng, k = jax.random.split(rng)
+        states = jax.vmap(M.step)(states, acts, jax.random.split(k, B))
+    obs = jax.vmap(M.observe)(states)
+    mask = jax.vmap(M.legal_mask)(states)
+
+    # 0-ply truncation: pure bootstrap
+    zero = mcts.rollout_oracle(M, max_plies=0)
+    _, v0 = jax.jit(zero)(states, obs, mask)
+    hv = jax.vmap(M.heuristic_value)(states)
+    hv_white = jnp.where(jax.vmap(M.to_play)(states) == core.WHITE, hv, -hv)
+    white = jax.vmap(M.to_play)(states) == core.WHITE
+    expect = jnp.where(white, jnp.tanh(hv_white), -jnp.tanh(hv_white))
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(expect), atol=1e-6)
+
+    # full-length max_plies == no truncation (bit-identical playouts)
+    full = mcts.rollout_oracle(M)
+    capped = mcts.rollout_oracle(M, max_plies=M.max_game_length)
+    _, vf = jax.jit(full)(states, obs, mask)
+    _, vc = jax.jit(capped)(states, obs, mask)
+    np.testing.assert_array_equal(np.asarray(vf), np.asarray(vc))
+
+    # truncated values stay in the terminal-reward range
+    tr = mcts.rollout_oracle(M, max_plies=42)
+    _, vt = jax.jit(tr)(states, obs, mask)
+    assert np.all(np.abs(np.asarray(vt)) <= 1.0 + 1e-6)
+
+    # games without a heuristic cannot be truncated
+    import dataclasses as DC
+    g2 = DC.replace(M, heuristic_value=None)
+    with pytest.raises(ValueError, match="heuristic_value"):
+        mcts.rollout_oracle(g2, max_plies=42)

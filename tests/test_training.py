@@ -277,36 +277,50 @@ def test_player_spec_coverage():
 
 
 def test_rollout_duel_lane_guard():
-    """Oversized rollout-oracle duels are chunked to the bisected safe
-    lane budget (scripts/repro_duel256.py: 1000-sim rollout trees crash
-    the TPU worker at 256 lanes, run at 128); network-search programs
-    and small rollout trees are untouched."""
+    """The guard is keyed on the round-4 re-bisect's actual fault
+    variable — the playout scan LENGTH inside the search program — plus a
+    sims x lanes chunking budget at the validated (<=42-ply) envelope:
+    c4 1000x256x42 runs on-chip while mancala 1000x32x120 crashes
+    (NOTES.md round-4 re-bisect)."""
+    import dataclasses
+    import warnings as W
+
     from alphazero_tpu import arena as A
     from alphazero_tpu.config import MctsParams, SimParams
-
-    full = A.Full(MctsParams(num_iters_per_turn=600))
-    roll1000 = A.MctsRollouts(MctsParams(num_iters_per_turn=1000))
-    roll100 = A.MctsRollouts(MctsParams(num_iters_per_turn=100))
-    sim = SimParams(num_games=256, num_lanes=256)
-
-    guarded = A.rollout_safe_sim(sim, full, roll1000)
-    assert guarded.num_lanes == 128
-    assert guarded.num_rounds == 2  # num_games preserved
-    assert A.rollout_safe_sim(sim, roll1000, roll1000).num_lanes == 128
-    # clean programs pass through unchanged
-    assert A.rollout_safe_sim(sim, full, full).num_lanes == 256
-    assert A.rollout_safe_sim(sim, full, roll100).num_lanes == 256
-    assert A.rollout_safe_sim(sim, full, None).num_lanes == 256
-
-    # the budget is ply-scaled: rollout leaves scan to the end of the
-    # game, and mancala (120 plies) crashed the worker at the exact
-    # c4-safe 1000x128 shape (round 4)
     from alphazero_tpu.envs import registry
+
     m = registry()["mancala"]
     c4 = registry()["connect-four"]
-    sim128 = SimParams(num_games=128, num_lanes=128)
-    assert A.rollout_safe_sim(sim128, roll1000, game=m).num_lanes == 32
-    assert A.rollout_safe_sim(sim128, roll1000, game=c4).num_lanes == 128
+    full = A.Full(MctsParams(num_iters_per_turn=600))
+    roll1000 = A.MctsRollouts(MctsParams(num_iters_per_turn=1000))
+    roll1000_trunc = dataclasses.replace(
+        roll1000, max_playout_plies=A.ROLLOUT_VALIDATED_PLIES)
+    sim256 = SimParams(num_games=256, num_lanes=256)
+    sim512 = SimParams(num_games=512, num_lanes=512)
+
+    with W.catch_warnings():
+        W.simplefilter("error")  # any warning -> failure
+        # c4's 42-ply playouts are within the validated envelope: the
+        # re-bisected 1000x256 shape passes through unchanged
+        assert A.rollout_safe_sim(sim256, full, roll1000,
+                                  game=c4).num_lanes == 256
+        # ... but sims x lanes beyond the validated 256k budget chunks
+        g = A.rollout_safe_sim(sim512, roll1000, roll1000, game=c4)
+        assert g.num_lanes == 256 and g.num_rounds == 2
+        # network-search programs are never touched
+        assert A.rollout_safe_sim(sim512, full, full,
+                                  game=m).num_lanes == 512
+        assert A.rollout_safe_sim(sim512, full, None,
+                                  game=c4).num_lanes == 512
+        # truncated mancala playouts are inside the envelope: no warning
+        assert A.rollout_safe_sim(sim256, full, roll1000_trunc,
+                                  game=m).num_lanes == 256
+
+    # untruncated mancala playouts (120-ply scan) warn: lane chunking
+    # does not avoid this fault, truncation must be configured
+    with pytest.warns(UserWarning, match="playout scan"):
+        A.rollout_safe_sim(SimParams(num_games=128, num_lanes=128),
+                           roll1000, game=m)
 
 
 def test_flagship_init_value_head_is_decisive():
