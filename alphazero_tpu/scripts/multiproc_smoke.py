@@ -40,6 +40,12 @@ def main(argv=None):
                     help="force N virtual CPU devices in this process "
                          "(0 = use the real platform)")
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--crash-in-iter", type=int, default=0,
+                    help="simulate a crash: hard-exit (os._exit 17) every "
+                         "process mid-iteration N (after self-play, before "
+                         "learning), leaving the iteration-(N-1) checkpoint "
+                         "as the recovery point — the fault-tolerance drill "
+                         "(0 = run to completion)")
     args = ap.parse_args(argv)
 
     if args.devices_per_proc:
@@ -77,8 +83,27 @@ def main(argv=None):
 
     exp = experiments.mesh_smoke_experiment()
     mesh = distributed.global_mesh()
-    session = Session(exp, dir=args.dir, quiet=pid != 0, seed=args.seed,
-                      mesh=mesh)
+
+    if args.crash_in_iter:
+        # every process hard-exits at the same deterministic point (between
+        # self-play and learning of iteration N), so no process is left
+        # hanging on a collective.  Recovery = restart all processes and
+        # resume from the iteration-(N-1) checkpoint — the same
+        # restart-and-resume story as the reference
+        # (``src/ui/session.jl:110-118,310-321``), exercised for real.
+        class CrashingSession(Session):
+            def learning_started(self, env):
+                super().learning_started(env)
+                if env.itc == args.crash_in_iter - 1:
+                    print(f"[proc {pid}] simulated crash mid-iteration "
+                          f"{args.crash_in_iter}", flush=True)
+                    os._exit(17)
+
+        session_cls = CrashingSession
+    else:
+        session_cls = Session
+    session = session_cls(exp, dir=args.dir, quiet=pid != 0, seed=args.seed,
+                          mesh=mesh)
     session.resume()
 
     # process-independent fingerprint of the final network (params are

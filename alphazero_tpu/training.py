@@ -331,6 +331,38 @@ def learning_step(env: AZEnv, handlers: Handlers) -> R.Learning:
 # ---------------------------------------------------------------------------
 
 
+def _replay_subset_program(env):
+    """Jitted subset gather ``(replay, idx[cap], m) -> Replay`` whose first
+    ``m`` rows are ``replay[idx[:m]]`` and the rest zeros.
+
+    Routed through jit with replicated outputs because eager fancy-indexing
+    on a (possibly mesh-sharded, multi-process) replay either becomes an
+    ad-hoc collective or fails on non-addressable arrays — the same rule
+    every sibling path follows (``learning.py`` dataset builder,
+    ``arena.py`` duel outputs)."""
+    cap = env.replay.capacity
+
+    def prog(replay, idx, m):
+        valid = jnp.arange(cap) < m
+
+        def take(src):
+            g = jnp.take(src, idx, axis=0)
+            vs = valid.reshape((-1,) + (1,) * (g.ndim - 1))
+            return jnp.where(vs, g, jnp.zeros_like(g))
+
+        return replay._replace(
+            states=jax.tree.map(take, replay.states),
+            pi=take(replay.pi), z=take(replay.z), t=take(replay.t),
+            key=take(replay.key),
+            ptr=(m % cap).astype(jnp.int32), total=m.astype(jnp.int32),
+            cur_batch=m.astype(jnp.int32))
+
+    if env.mesh is not None:
+        from .parallel import replicated
+        return jax.jit(prog, out_shardings=replicated(env.mesh))
+    return jax.jit(prog)
+
+
 def memory_report(env: AZEnv, handlers: Handlers) -> Optional[R.Memory]:
     """(``training.jl:302-311``, ``learning.jl:191-216``)"""
     mp = env.params.memory_analysis
@@ -344,21 +376,21 @@ def memory_report(env: AZEnv, handlers: Handlers) -> Optional[R.Memory]:
                               mesh=env.mesh)
         return tr.samples_report()
 
+    cap = env.replay.capacity
+    subset = _replay_subset_program(env)
+
+    def subset_replay(idx: np.ndarray):
+        idx_full = np.zeros(cap, np.int32)
+        idx_full[:len(idx)] = idx
+        return subset(env.replay, jnp.asarray(idx_full),
+                      jnp.asarray(len(idx), jnp.int32))
+
     all_samples = report_for(env.replay)
-    # latest self-play batch
+    # latest self-play batch (replicated scalars: eager int() is safe)
     nlast = int(jnp.minimum(env.replay.cur_batch, env.replay.size))
     if nlast > 0:
-        cap = env.replay.capacity
         idx = (int(env.replay.ptr) - nlast + np.arange(nlast)) % cap
-        sub = memmod.init_replay(env.game, cap)
-        take = lambda dst, src: dst.at[:nlast].set(src[idx])
-        sub = sub._replace(
-            states=jax.tree.map(take, sub.states, env.replay.states),
-            pi=take(sub.pi, env.replay.pi), z=take(sub.z, env.replay.z),
-            t=take(sub.t, env.replay.t), key=take(sub.key, env.replay.key),
-            ptr=jnp.asarray(nlast % cap, jnp.int32),
-            total=jnp.asarray(nlast, jnp.int32))
-        latest = report_for(sub)
+        latest = report_for(subset_replay(idx))
     else:
         latest = all_samples
     # per-game-stage buckets over t (remaining moves): sort by t, then
@@ -374,20 +406,10 @@ def memory_report(env: AZEnv, handlers: Handlers) -> Optional[R.Memory]:
     for chunk in [order[i:i + csize] for i in range(0, len(order), csize)]:
         if len(chunk) == 0:
             continue
-        cap = env.replay.capacity
-        sub = memmod.init_replay(env.game, cap)
-        m = len(chunk)
-        take = lambda dst, src: dst.at[:m].set(src[chunk])
-        sub = sub._replace(
-            states=jax.tree.map(take, sub.states, env.replay.states),
-            pi=take(sub.pi, env.replay.pi), z=take(sub.z, env.replay.z),
-            t=take(sub.t, env.replay.t), key=take(sub.key, env.replay.key),
-            ptr=jnp.asarray(m % cap, jnp.int32),
-            total=jnp.asarray(m, jnp.int32))
         stages.append(R.StageSamples(
             min_remaining_length=float(ts[chunk].min()),
             max_remaining_length=float(ts[chunk].max()),
-            samples_stats=report_for(sub)))
+            samples_stats=report_for(subset_replay(chunk))))
     rep = R.Memory(latest_batch=latest, all_samples=all_samples,
                    per_game_stage=stages)
     handlers.memory_analyzed(env, rep)
