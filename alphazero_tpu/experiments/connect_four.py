@@ -98,11 +98,14 @@ def gumbel_experiment(num_lanes: int = 1024) -> Experiment:
     config with ``algorithm="gumbel"`` at 150 sims for BOTH self-play and
     the gating arena, benchmarks unchanged (reference protocol players).
 
-    Measured on one v5e chip (sessions/c4-gumbel, NOTES.md): self-play at
-    1516 samples/s (2.6x the 600-sim PUCT rate), all 15 iterations in
-    81 min wall including 6 benchmark rounds; final 1024-game CIs
-    83.0% +- 2.3% vs MctsRollouts(1000) and 88.4% +- 2.0% vs MinMax-5 —
-    equal-or-stronger than the PUCT flagship at ~2.8x less wall-clock.
+    Measured on one v5e chip (sessions/c4-gumbel-r4 — the post-init-fix
+    retrain against canary-validated baselines; NOTES.md round 5):
+    self-play at ~1500 samples/s (2.6x the 600-sim PUCT rate), all 15
+    iterations with benchmarks in ~80 min wall; 512-game
+    reference-protocol final eval 99.8% +- 0.4% vs MinMax-5 and
+    99.2% +- 0.8% vs MctsRollouts(1000), raw NetworkOnly 86.9% / 88.9%
+    (final_eval_refproto.json) — PUCT-flagship strength at ~2.8x less
+    search compute per move.
     Arena semantics: the gating duel uses gumbel search on both sides (the
     halving argmax is the played move, no temperature), while benchmark
     duels keep the reference's exact PUCT evaluation players.

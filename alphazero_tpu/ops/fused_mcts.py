@@ -47,11 +47,12 @@ on the XLA side.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30  # python float: jnp scalars would be captured consts
 
@@ -75,6 +76,11 @@ def _pick_lanes_per_block(B: int, bytes_per_lane: int,
     while lb * 2 <= B and B % (lb * 2) == 0 and \
             (lb * 2) * bytes_per_lane <= budget:
         lb *= 2
+    # shrink when even the starting block busts the budget (first observed
+    # on-chip at flagship N=601: 128 lanes x 115 KB/lane = 14.8 MB, which
+    # double-buffered overflows the 16 MB VMEM cap)
+    while lb > 1 and lb * bytes_per_lane > budget:
+        lb //= 2
     while B % lb != 0 and lb > 1:
         lb //= 2
     return max(lb, 1)
@@ -203,14 +209,22 @@ def _kernel(ap: int, max_depth: int, cpuct: float, eps: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "cpuct", "eps", "interpret"))
+    static_argnames=("max_depth", "cpuct", "eps", "interpret",
+                     "lanes_per_block"))
 def pallas_select(stats, prior_legal, meta, eta_t, *, max_depth: int,
                   cpuct: float, eps: float,
-                  interpret: bool = False) -> SelectOut:
+                  interpret: bool = False,
+                  lanes_per_block: Optional[int] = None) -> SelectOut:
     """Run one batched PUCT descent over the whole lane batch.
 
     Slabs are ``[N, W, B]`` lanes-minor; ``eta_t`` is ``[A, B]``
     (transposed).  Returns lane-major results (paths ``[B, D]``).
+
+    ``lanes_per_block`` overrides the VMEM-budgeted block pick (TPU blocks
+    must keep the lane (minor) dim a multiple of 128 or the full batch;
+    at flagship N=601 a 128-lane block is 14.8 MB, which double-buffered
+    exceeds the default 16 MB scoped-VMEM limit — raise it with
+    ``--xla_tpu_scoped_vmem_limit_kib`` or chunk the batch per call).
     """
     N, S, B = stats.shape
     ap = S // 3
@@ -220,7 +234,8 @@ def pallas_select(stats, prior_legal, meta, eta_t, *, max_depth: int,
     if eta_t.shape[0] != ap:  # pad to the action width (TPU block tiling)
         eta_t = jnp.pad(eta_t, ((0, ap - eta_t.shape[0]), (0, 0)))
     bytes_per_lane = N * (S + PW + MW) * 4
-    LB = _pick_lanes_per_block(B, bytes_per_lane)
+    LB = (lanes_per_block if lanes_per_block is not None
+          else _pick_lanes_per_block(B, bytes_per_lane))
     grid = (B // LB,)
 
     kern = functools.partial(_kernel, ap, D, cpuct, eps, N, LB)
@@ -255,6 +270,12 @@ def pallas_select(stats, prior_legal, meta, eta_t, *, max_depth: int,
             jax.ShapeDtypeStruct((D, B), jnp.float32),
             jax.ShapeDtypeStruct((D, B), jnp.float32),
         ],
+        # the double-buffered 128-lane block at flagship N=601 is ~29.5 MB,
+        # over XLA's default 16 MB scoped-VMEM budget; declare the kernel's
+        # own VMEM need so every enclosing jit compiles without needing a
+        # global --xla_tpu_scoped_vmem_limit_kib override
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(stats, prior_legal, meta, eta_t)
     (par, act, cur, dep, pn, pa, re, fe) = out

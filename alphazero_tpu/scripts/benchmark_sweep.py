@@ -35,6 +35,10 @@ DUEL_KEYS = {
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("dir")
+    ap.add_argument("--exp", default="connect-four",
+                    help="experiment whose benchmark set to sweep "
+                         "(registry name; its params must match the "
+                         "session's netspec)")
     ap.add_argument("--games", type=int, default=256)
     ap.add_argument("--duels", default="az-mcts,net-mcts",
                     help=f"subset of {sorted(DUEL_KEYS)} (default: the two "
@@ -48,14 +52,14 @@ def main(argv=None):
     import jax
 
     from .. import arena as A
+    from .. import experiments
     from .. import report as R
-    from ..experiments import connect_four
     from ..session.session import load_eval_net
     from ..utils import canary as canarymod
 
     canary = canarymod.summary(canarymod.validate_chip())
     print(f"canary: {canary}")
-    exp = connect_four.experiment()
+    exp = experiments.registry()[args.exp]
     duels = []
     for k in args.duels.split(","):
         if k not in DUEL_KEYS:

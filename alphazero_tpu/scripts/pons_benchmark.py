@@ -397,8 +397,13 @@ def main(argv=None):
         print(f"canary: {canarymod.summary(canarymod.validate_chip())}")
         mcts_params = exp.params.arena.mcts
         for name, kind, it in agents:
-            done = set(moves_store.get(name, {}))
-            if all(f"{b.stage}/{b.difficulty}" in done for b in benches):
+            store = moves_store.get(name, {})
+            # covered = stored moves for at least as many positions as
+            # requested (stores are bucket-file-prefix aligned, so longer
+            # stores satisfy shorter runs; a bare key test would skip
+            # agents whose store predates a larger --limit)
+            if all(len(store.get(f"{b.stage}/{b.difficulty}", []))
+                   >= len(b.entries) for b in benches):
                 continue
             print(f"Thinking: {name}")
             if kind == "minmax":

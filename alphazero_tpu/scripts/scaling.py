@@ -51,6 +51,9 @@ def main(argv=None):
     ap.add_argument("--fixed-work", action="store_true",
                     help="hold total lanes constant across mesh sizes")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="append results as one JSON object to this file "
+                         "(the committed scaling artifact)")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu" and args.devices:
@@ -91,8 +94,29 @@ def main(argv=None):
     else:
         net = None
 
+    def finish(results):
+        if args.out:
+            import json
+            base = results[sizes[0]]
+            eff = {n: (r / base if args.fixed_work
+                       else r / (base * n / sizes[0]))
+                   for n, r in results.items()}
+            rec = dict(
+                mode="production" if args.production else "raw",
+                platform=jax.default_backend(),
+                device_kind=str(jax.devices()[0].device_kind),
+                devices=sizes, lanes_per_device=args.lanes_per_device,
+                sims=args.sims, fixed_work=bool(args.fixed_work),
+                net=bool(args.net),
+                samples_per_s={str(n): r for n, r in results.items()},
+                efficiency={str(n): e for n, e in eff.items()})
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"appended -> {args.out}")
+        return results
+
     if args.production:
-        return _production(args, sizes)
+        return finish(_production(args, sizes))
 
     results = {}
     for n in sizes:
@@ -138,7 +162,7 @@ def main(argv=None):
               f"({sims / best:12.1f} sims/s)  {label} "
               f"{100 * eff:5.1f}%")
 
-    return results
+    return finish(results)
 
 
 def _production(args, sizes):
