@@ -69,21 +69,22 @@ class SelectOut(NamedTuple):
 
 
 def _pick_lanes_per_block(B: int, bytes_per_lane: int,
-                          budget: int = 5 * 2**20) -> int:
-    # budget covers ONE set of input blocks; the pipeline double-buffers
-    # them, and outputs/carries take ~2 MB more, against a 16 MB VMEM cap.
-    lb = min(B, 128)
+                          budget: int = 16 * 2**20) -> int:
+    """Largest lane-block within ``budget`` that the TPU lowering accepts.
+
+    Constraint (Mosaic): the minor (lane) block dim must be a multiple of
+    128 OR the full batch.  The kernel declares a 100 MB VMEM need via
+    CompilerParams, so ``budget`` is a pipelining preference (smaller
+    blocks double-buffer; one full-batch block runs grid-1 unbuffered),
+    not a correctness bound — 128 stays legal even when it exceeds it.
+    """
+    if B <= 128 or B % 128 != 0:
+        return B
+    lb = 128
     while lb * 2 <= B and B % (lb * 2) == 0 and \
             (lb * 2) * bytes_per_lane <= budget:
         lb *= 2
-    # shrink when even the starting block busts the budget (first observed
-    # on-chip at flagship N=601: 128 lanes x 115 KB/lane = 14.8 MB, which
-    # double-buffered overflows the 16 MB VMEM cap)
-    while lb > 1 and lb * bytes_per_lane > budget:
-        lb //= 2
-    while B % lb != 0 and lb > 1:
-        lb //= 2
-    return max(lb, 1)
+    return lb
 
 
 def _kernel(ap: int, max_depth: int, cpuct: float, eps: float,
@@ -168,7 +169,13 @@ def _kernel(ap: int, max_depth: int, cpuct: float, eps: float,
         sqrt_ntot = jnp.sqrt(jnp.sum(nvis, axis=0, keepdims=True))
         scores = jnp.where(legal, q + cpuct * p * sqrt_ntot / (nvis + 1.0),
                            NEG_INF)
-        action = jnp.argmax(scores, axis=0, keepdims=True).astype(jnp.int32)
+        # first-max-wins argmax, spelled out: Mosaic's argmax lowering does
+        # NOT break exact-score ties at the lowest index the way XLA's
+        # argmax does, and uniform-prior searches tie constantly (observed
+        # on-chip: 22/128 canary lanes diverged through tie-breaks alone)
+        m = jnp.max(scores, axis=0, keepdims=True)
+        action = jnp.min(jnp.where(scores >= m, iota_a, ap),
+                         axis=0, keepdims=True).astype(jnp.int32)
         a_oh = (iota_a == action).astype(jnp.float32)
         child = jnp.sum(childp1 * a_oh, axis=0, keepdims=True) - 1.0
         child = child.astype(jnp.int32)      # [1, LB], -1 = unexpanded

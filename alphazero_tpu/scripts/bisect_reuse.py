@@ -187,10 +187,10 @@ def cmd_duel(args):
                 jax.tree.map(lambda x: x[0], ctree.states))
             cur_key = jax.vmap(game.canonical_key)(states)
             cvalid = cvalid & jnp.all(stored_key == cur_key, axis=-1)
-            ap = ctree.prior_legal.shape[-1] // 2
+            ap = ctree.prior_legal.shape[1] // 2
             pre_visits = jnp.where(
                 cvalid[:, None],
-                ctree.stats[0, :, ap:ap + game.num_actions], 0.0)
+                ctree.stats[0, ap:ap + game.num_actions, :].T, 0.0)
             rres = M.search(game, oracle, states, k1, rcfg,
                             carried=(ctree, cvalid))
             fres = M.search(game, oracle, states,
@@ -213,9 +213,9 @@ def cmd_duel(args):
             if args.decay < 1.0:
                 # decay carried qsum/visits (keep child pointers): carried
                 # structure + priors persist, the stale vote shrinks
-                ap2 = ctree.prior_legal.shape[-1] // 2
+                ap2 = ctree.prior_legal.shape[1] // 2
                 st = ctree.stats
-                st = st.at[:, :, :2 * ap2].multiply(args.decay)
+                st = st.at[:, :2 * ap2, :].multiply(args.decay)
                 ctree = ctree._replace(stats=st)
             cvalid = cvalid & ~done
             s2 = jax.vmap(game.step)(states, a, jax.random.split(k3, B))

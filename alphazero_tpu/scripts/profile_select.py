@@ -90,9 +90,8 @@ def main(argv=None):
 
     # ---- correctness on THIS backend: kernel vs XLA descent -------------
     sel = jax.jit(lambda t: M._select(t, eta, cfg, D, A))(tree)
-    stats_t = jnp.transpose(tree.stats, (0, 2, 1))
-    pl_t = jnp.transpose(tree.prior_legal, (0, 2, 1))
-    meta_t = jnp.transpose(tree.meta, (0, 2, 1))
+    # since the round-5 layout flip the tree is already lanes-minor
+    stats_t, pl_t, meta_t = tree.stats, tree.prior_legal, tree.meta
 
     # variant 1 (the designed config): 128-lane blocks, grid-pipelined.
     # At flagship N the block is 14.8 MB — needs a raised scoped-VMEM

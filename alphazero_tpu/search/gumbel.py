@@ -137,13 +137,13 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: GumbelConfig
         jnp.int32)
 
     def root_stats(tree):
-        stats0 = tree.stats[0]
+        stats0 = tree.stats[0].T        # lanes-minor slab row -> [B, 3ap]
         qsum = stats0[:, :A]
         nvis = stats0[:, ap:ap + A]
         q = qsum / jnp.maximum(nvis, 1.0)
-        p = tree.prior_legal[0, :, :A]
-        legal = tree.prior_legal[0, :, ap:ap + A] > 0.5
-        v = tree.meta[0, :, _VALUE]
+        p = tree.prior_legal[0, :A, :].T
+        legal = tree.prior_legal[0, ap:ap + A, :].T > 0.5
+        v = tree.meta[0, _VALUE, :]
         return q, nvis, p, legal, v
 
     def root_score(tree):

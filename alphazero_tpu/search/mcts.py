@@ -141,6 +141,21 @@ class MCTSConfig:
     # (842 -> 1027 samples/s over opening moves, 679 -> 827 over 24 moves,
     # BENCH_GATHER A/B).  Default onehot.
     gather: str = "onehot"
+    # Descent engine: "pallas" = the fused Mosaic kernel
+    # (ops/fused_mcts.pallas_select) walking the whole descent in one
+    # launch over VMEM-staged lanes-minor slabs — ONE slab pass per sim vs
+    # the XLA loop's pass per STEP (on-chip at flagship N=601/B=1024:
+    # 0.69 ms vs 1.97 ms per descent, bit-exact; scripts/profile_select).
+    # "xla" = the while-loop `_select`.  None (default) = pallas on TPU
+    # for plain PUCT (no selection hooks), xla otherwise/elsewhere.
+    descent: Optional[str] = None
+    # Stage-cap threshold for the auto/pallas engine: stages whose node
+    # slab holds fewer than this many slots keep the XLA descent.  The
+    # kernel streams the WHOLE staged slab HBM->VMEM once per sim, which
+    # loses to the XLA loop when trees are small and walks shallow (early
+    # stages) and wins when they are large and deep (late stages) — the
+    # crossover measured on-chip via BENCH_DESCENT_MIN_CAP A/B.
+    descent_min_cap: int = 256
 
 
 class Tree(NamedTuple):
@@ -152,14 +167,17 @@ class Tree(NamedTuple):
 
     ``AP`` is the action width padded up to a multiple of 8.
 
-    Slabs are laid out ``[N, B, W]``: per-node rows are then contiguous,
-    which the Pallas update kernel needs for in-place per-lane row writes.
+    Numeric slabs are laid out LANES-MINOR ``[N, W, B]`` (round-5 flip):
+    per-lane walk state in the Pallas descent kernel
+    (``ops/fused_mcts.pallas_select``) then costs one vector-register row
+    per 128 lanes, and expansion writes stay contiguous same-slot DUS.
+    The state pytree stays lane-major ``[N, B, ...]`` (env-shaped ops).
     """
 
     states: Any             # pytree, leaves [N, B, ...]
-    meta: jnp.ndarray       # f32 [N, B, 8]: player, terminal, reward, value
-    prior_legal: jnp.ndarray  # f32 [N, B, 2*AP]: prior | legal(0/1)
-    stats: jnp.ndarray      # f32 [N, B, 3*AP]: qsum | visits | child+1
+    meta: jnp.ndarray       # f32 [N, 8, B]: player, terminal, reward, value
+    prior_legal: jnp.ndarray  # f32 [N, 2*AP, B]: prior | legal(0/1)
+    stats: jnp.ndarray      # f32 [N, 3*AP, B]: qsum | visits | child+1
 
 
 class SearchResults(NamedTuple):
@@ -182,8 +200,9 @@ def _row_gather(x, idx):
 
 
 def _slab_gather(x, idx):
-    """x: [N, B, W], idx: [B] -> [B, W] (per-lane node row lookup)."""
-    return _row_gather(x, idx)
+    """x: [N, W, B] (lanes-minor), idx: [B] -> [B, W] per-lane row."""
+    B = x.shape[2]
+    return jax.vmap(lambda i, b: x[i, :, b])(idx, jnp.arange(B))
 
 
 def _apply_prior_temperature(p, legal, tau):
@@ -240,14 +259,18 @@ def init_tree(game: Game, cfg: MCTSConfig, roots, root_p, root_v,
     def alloc(x):
         return jnp.zeros((N,) + x.shape, x.dtype).at[0].set(x)
 
+    def alloc_slab(row_bw):  # [B, W] root row -> [N, W, B] lanes-minor slab
+        return jnp.zeros((N, row_bw.shape[1], B),
+                         row_bw.dtype).at[0].set(row_bw.T)
+
     meta0 = _pack_meta(game, roots, root_v)
     # the root's reward slot is never used; zero it for cleanliness
     meta0 = meta0.at[:, _REWARD].set(0.0)
     return Tree(
         states=jax.tree.map(alloc, roots),
-        meta=alloc(meta0),
-        prior_legal=alloc(_pack_prior_legal(prior, root_legal, ap)),
-        stats=jnp.zeros((N, B, 3 * ap), jnp.float32),
+        meta=alloc_slab(meta0),
+        prior_legal=alloc_slab(_pack_prior_legal(prior, root_legal, ap)),
+        stats=jnp.zeros((N, 3 * ap, B), jnp.float32),
     )
 
 
@@ -294,9 +317,9 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
     two chained gathers per iteration — and the serial descent dominates
     flagship self-play cost, so halving the chain is a direct win.
     """
-    N, B = tree.meta.shape[:2]
+    N, _, B = tree.meta.shape
     A = num_actions
-    ap = tree.prior_legal.shape[-1] // 2
+    ap = tree.prior_legal.shape[1] // 2
     if cfg.gather == "onehot":
         iota_n = jnp.arange(N)
 
@@ -304,14 +327,14 @@ def _select(tree: Tree, eta, cfg: MCTSConfig, max_depth: int, num_actions: int,
             # masked reduction over the node axis: no gather op in the
             # serial descent chain (cost O(N*W) VPU work per step)
             oh = (iota_n[:, None] == idx[None, :]).astype(x.dtype)
-            return jnp.einsum("nb,nbw->bw", oh, x)
+            return jnp.einsum("nb,nwb->bw", oh, x)
     else:
         slab_gather = _slab_gather
     init = _SelectState(
         cur=jnp.zeros((B,), jnp.int32),
-        cur_player=tree.meta[0, :, _PLAYER],
+        cur_player=tree.meta[0, _PLAYER, :],
         edge_moved=jnp.zeros((B,), bool),
-        done=tree.meta[0, :, _TERMINAL] > 0.5,
+        done=tree.meta[0, _TERMINAL, :] > 0.5,
         expand_parent=jnp.full((B,), -1, jnp.int32),
         expand_action=jnp.zeros((B,), jnp.int32),
         depth=jnp.zeros((B,), jnp.int32),
@@ -477,16 +500,20 @@ def _install_carried(fresh: Tree, car: Tree, valid) -> Tree:
     """Overwrite slots [0, K) of a freshly initialized tree with the carried
     slabs on lanes where ``valid`` (other lanes keep the fresh root)."""
     K = car.meta.shape[0]
-    B = car.meta.shape[1]
+    B = car.meta.shape[2]
 
-    def put(f, c):
+    def put(f, c):  # state leaves: [K, B, ...]
         v = valid.reshape((1, B) + (1,) * (c.ndim - 2))
         return f.at[:K].set(jnp.where(v, c, f[:K]))
 
+    def put_slab(f, c):  # lanes-minor slabs: [K, W, B]
+        v = valid.reshape((1, 1, B))
+        return f.at[:K].set(jnp.where(v, c, f[:K]))
+
     return Tree(states=jax.tree.map(put, fresh.states, car.states),
-                meta=put(fresh.meta, car.meta),
-                prior_legal=put(fresh.prior_legal, car.prior_legal),
-                stats=put(fresh.stats, car.stats))
+                meta=put_slab(fresh.meta, car.meta),
+                prior_legal=put_slab(fresh.prior_legal, car.prior_legal),
+                stats=put_slab(fresh.stats, car.stats))
 
 
 def empty_carry(game: Game, carry_cap: int, num_lanes: int) -> Tuple[Tree, jnp.ndarray]:
@@ -497,9 +524,9 @@ def empty_carry(game: Game, carry_cap: int, num_lanes: int) -> Tuple[Tree, jnp.n
     tree = Tree(
         states=jax.tree.map(
             lambda x: jnp.zeros((carry_cap,) + x.shape, x.dtype), template),
-        meta=jnp.zeros((carry_cap, B, _META_W), jnp.float32),
-        prior_legal=jnp.zeros((carry_cap, B, 2 * ap), jnp.float32),
-        stats=jnp.zeros((carry_cap, B, 3 * ap), jnp.float32),
+        meta=jnp.zeros((carry_cap, _META_W, B), jnp.float32),
+        prior_legal=jnp.zeros((carry_cap, 2 * ap, B), jnp.float32),
+        stats=jnp.zeros((carry_cap, 3 * ap, B), jnp.float32),
     )
     return tree, jnp.zeros((B,), bool)
 
@@ -520,8 +547,8 @@ def advance_root(game: Game, tree: Tree, actions, carry_cap: int
     Returns ``(carried_tree, valid [B])``; lanes whose played child was
     never expanded come back invalid (nothing to carry).
     """
-    C, B = tree.meta.shape[:2]
-    ap = tree.prior_legal.shape[-1] // 2
+    C, _, B = tree.meta.shape
+    ap = tree.prior_legal.shape[1] // 2
     brange = jnp.arange(B)
     K = carry_cap
 
@@ -531,7 +558,13 @@ def advance_root(game: Game, tree: Tree, actions, carry_cap: int
     r = childp1.astype(jnp.int32) - 1                       # [B]; -1: none
     valid = r >= 0
 
-    parent = tree.meta[:, :, _PARENT].astype(jnp.int32)    # [C, B]
+    # per-move (not per-sim) compaction: work lane-major, one transpose
+    # in/out of the lanes-minor production layout is noise here
+    meta_bw = jnp.transpose(tree.meta, (0, 2, 1))           # [C, B, 8]
+    prior_bw = jnp.transpose(tree.prior_legal, (0, 2, 1))
+    stats_bw = jnp.transpose(tree.stats, (0, 2, 1))
+
+    parent = meta_bw[:, :, _PARENT].astype(jnp.int32)       # [C, B]
 
     def member_body(i, member):
         par = parent[i]
@@ -562,9 +595,9 @@ def advance_root(game: Game, tree: Tree, actions, carry_cap: int
         return jnp.where(mask, rows, jnp.zeros((), slab.dtype))
 
     new_states = jax.tree.map(take, tree.states)
-    new_meta = take(tree.meta)
-    new_prior = take(tree.prior_legal)
-    new_stats = take(tree.stats)
+    new_meta = take(meta_bw)
+    new_prior = take(prior_bw)
+    new_stats = take(stats_bw)
 
     # old-index -> new-index+1 (0 = dropped/unexpanded), for pointer remaps
     map01 = jnp.where(keep, newidx + 1, 0).astype(jnp.float32)  # [C, B]
@@ -579,8 +612,10 @@ def advance_root(game: Game, tree: Tree, actions, carry_cap: int
                      map01[jnp.clip(oldp, 0, C - 1), bidx2] - 1.0, -1.0)
     new_meta = new_meta.at[:, :, _PARENT].set(newp)
 
-    carried = Tree(states=new_states, meta=new_meta,
-                   prior_legal=new_prior, stats=new_stats)
+    carried = Tree(states=new_states,
+                   meta=jnp.transpose(new_meta, (0, 2, 1)),
+                   prior_legal=jnp.transpose(new_prior, (0, 2, 1)),
+                   stats=jnp.transpose(new_stats, (0, 2, 1)))
     return carried, valid
 
 
@@ -653,16 +688,23 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             new = jnp.where(sel_mask, val, old)
             return jax.lax.dynamic_update_slice_in_dim(arr, new, slot, axis=0)
 
+        def put_slab(arr, row_bw):
+            """Same-slot DUS of a lanes-minor slab row: [B, W] -> slot."""
+            old = jax.lax.dynamic_slice_in_dim(arr, slot, 1, axis=0)
+            new = jnp.where(expanding[None, None, :], row_bw.T[None], old)
+            return jax.lax.dynamic_update_slice_in_dim(arr, new, slot, axis=0)
+
         tree = tree._replace(
             states=jax.tree.map(
                 lambda a, v: put(a, v[None]), tree.states, child_states),
-            meta=put(tree.meta,
-                     _pack_meta(game, child_states, child_v,
-                                parent=jnp.where(expanding, parent_idx, -1),
-                                action=expand_action)[None]),
-            prior_legal=put(tree.prior_legal,
-                            _pack_prior_legal(child_prior, child_mask,
-                                              ap)[None]),
+            meta=put_slab(tree.meta,
+                          _pack_meta(game, child_states, child_v,
+                                     parent=jnp.where(expanding, parent_idx,
+                                                      -1),
+                                     action=expand_action)),
+            prior_legal=put_slab(tree.prior_legal,
+                                 _pack_prior_legal(child_prior, child_mask,
+                                                   ap)),
         )
         # leaf value: oracle value at the new node (0 if terminal,
         # ``src/mcts.jl:200-201,205-207``); terminal descents use 0.
@@ -701,12 +743,13 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
                          expanding, parent_idx, expand_action, child_val):
         cap = stats.shape[0]
         oob = cap * B * S
-        base = (nodes * B + brange[:, None]) * S + actions
+        # lanes-minor flat index of entry (node, col, lane)
+        base = (nodes * S + actions) * B + brange[:, None]
         idx_q = jnp.where(on_path, base, oob)
-        idx_v = jnp.where(on_path, base + ap, oob)
+        idx_v = jnp.where(on_path, base + ap * B, oob)
         idx_c = jnp.where(
             expanding,
-            (parent_idx * B + brange) * S + 2 * ap + expand_action,
+            (parent_idx * S + 2 * ap + expand_action) * B + brange,
             oob)
         all_idx = jnp.concatenate(
             [idx_q.reshape(-1), idx_v.reshape(-1), idx_c])
@@ -715,7 +758,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
              on_path.astype(jnp.float32).reshape(-1),
              child_val])
         return stats.reshape(-1).at[all_idx].add(
-            all_upd, mode="drop", unique_indices=True).reshape(cap, B, S)
+            all_upd, mode="drop", unique_indices=True).reshape(cap, S, B)
 
     def apply_update_dense(stats, nodes, actions, on_path, q_edges,
                            expanding, parent_idx, expand_action, child_val):
@@ -725,7 +768,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         child-pointer install; off-path/non-expanding rows hit the padding
         node row ``cap`` (sliced off).  f32 dot (bf16x3 on the MXU) keeps
         visit counts exact and qsum at f32 fidelity."""
-        cap, _, S = stats.shape
+        cap, S, _ = stats.shape
         D = q_edges.shape[1]
         node_rows = jnp.concatenate(
             [jnp.where(on_path, nodes, cap),
@@ -747,7 +790,7 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         upd = jax.lax.dot_general(
             lhs, rhs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [B, cap+1, S]
-        return stats + jnp.transpose(upd[:, :cap, :], (1, 0, 2))
+        return stats + jnp.transpose(upd[:, :cap, :], (1, 2, 0))
 
     apply_update = (apply_update_dense if cfg.update == "dense"
                     else apply_update_xla)
@@ -774,11 +817,51 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         raise NotImplementedError(
             "selection hooks are not supported by the fused kernel path")
 
+    def _target_platform():
+        # respect an active jax.default_device(...) context (the canary's
+        # CPU-twin programs run under one on a TPU-default process)
+        dev = jax.config.jax_default_device
+        return dev.platform if dev is not None else jax.default_backend()
+
+    use_pallas_descent = (
+        cfg.descent == "pallas"
+        or (cfg.descent is None
+            and _target_platform() == "tpu"
+            and root_action_fn is None and nonroot_scores is None
+            and not use_fused))
+
+    def select(tree, i):
+        """One full-batch descent: the Mosaic kernel on TPU (one staged
+        slab pass, lanes-minor layout) for large-slab stages, the XLA
+        while-loop otherwise.  The engine choice is static per stage:
+        ``tree`` shapes are stage-compile-time constants."""
+        if not (use_pallas_descent
+                and tree.meta.shape[0] >= cfg.descent_min_cap):
+            ra = None if root_action_fn is None else root_action_fn(tree, i)
+            return _select(tree, eta, cfg, max_depth, A, ra, nonroot_scores)
+        from ..ops import fused_mcts as FM
+        out = FM.pallas_select(
+            tree.stats, tree.prior_legal, tree.meta, eta.T,
+            max_depth=max_depth, cpuct=cfg.cpuct, eps=cfg.dirichlet_eps,
+            interpret=_target_platform() != "tpu")
+        # adapt to the _SelectState consumers: `done` distinguishes
+        # depth-capped lanes (neither expanded nor terminal) for
+        # cap_leaf_value; cur_player/edge_moved/d are descent-internal
+        meta_cur = _slab_gather(tree.meta, out.cur)
+        done = (out.expand_parent >= 0) | (meta_cur[:, _TERMINAL] > 0.5)
+        return _SelectState(
+            cur=out.cur, cur_player=meta_cur[:, _PLAYER],
+            edge_moved=jnp.zeros((B,), bool), done=done,
+            expand_parent=out.expand_parent,
+            expand_action=out.expand_action, depth=out.depth,
+            path_nodes=out.path_nodes, path_actions=out.path_actions,
+            path_r=out.r_edges, path_f=out.f_edges,
+            d=jnp.zeros((), jnp.int32))
+
     if not use_fused:
         def sim_body(i, carry):
             tree, traversed = carry
-            ra = None if root_action_fn is None else root_action_fn(tree, i)
-            sel = _select(tree, eta, cfg, max_depth, A, ra, nonroot_scores)
+            sel = select(tree, i)
             expanding = sel.expand_parent >= 0
             tree, child_states, leaf_value, parent_idx, exp_r, exp_f = expand(
                 tree, i, sel.expand_parent, sel.expand_action)
@@ -809,27 +892,31 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
             leaf_value = cap_leaf_value(tree, sel, leaf_value)
             q_edges, on_path, nodes, actions = _edge_updates(
                 sel, exp_r, exp_f, leaf_value, cfg, max_depth)
-            stats = PU.pallas_update(
-                tree.stats, nodes, actions, sel.depth,
+            # pallas_update predates the round-5 lanes-minor flip and
+            # keeps its [cap, B, S] contract; adapt by transposing (this
+            # research path is not production — see MCTSConfig.fused)
+            stats_bw = jnp.transpose(tree.stats, (0, 2, 1))
+            stats_bw = PU.pallas_update(
+                stats_bw, nodes, actions, sel.depth,
                 jnp.where(on_path, q_edges, 0.0),
                 jnp.where(expanding, parent_idx, -1), sel.expand_action,
                 jnp.full((B,), 0.0, jnp.float32) + (slot + 1.0),
                 interpret=interpret)
-            tree = tree._replace(stats=stats)
+            tree = tree._replace(stats=jnp.transpose(stats_bw, (0, 2, 1)))
             return tree, traversed + jnp.sum(sel.depth)
 
         tree, traversed = run_staged(sim_body_fused)
 
-    root_visits = tree.stats[0, :, ap:ap + A].astype(jnp.int32)
+    root_visits = tree.stats[0, ap:ap + A, :].T.astype(jnp.int32)
     ntot = jnp.sum(root_visits, -1, keepdims=True).astype(jnp.float32)
     policy = root_visits.astype(jnp.float32) / jnp.maximum(ntot, 1.0)
-    root_q = tree.stats[0, :, :A] / jnp.maximum(
+    root_q = tree.stats[0, :A, :].T / jnp.maximum(
         root_visits.astype(jnp.float32), 1.0)
     return SearchResults(
         policy=policy,
         root_visits=root_visits,
         root_q=root_q,
-        root_value=tree.meta[0, :, _VALUE],
+        root_value=tree.meta[0, _VALUE, :],
         nodes_traversed=traversed,
         tree=tree,
     )

@@ -120,7 +120,7 @@ class Explorer:
         visits = np.asarray(res.root_visits[0]).astype(np.float64)
         q = np.asarray(res.root_q[0])
         A = g.num_actions
-        prior = np.asarray(res.tree.prior_legal[0, :, :A])[0]
+        prior = np.asarray(res.tree.prior_legal[0, :A, :])[:, 0]
         cpuct = getattr(self._cfg, "cpuct", None)
         ucts = (q + cpuct * prior * np.sqrt(max(visits.sum(), 0.0))
                 / (visits + 1.0)) if cpuct is not None else None

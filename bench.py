@@ -59,6 +59,10 @@ def main():
         knobs["stages"] = int(os.environ["BENCH_STAGES"])
     if "BENCH_GATHER" in os.environ:
         knobs["gather"] = os.environ["BENCH_GATHER"]
+    if "BENCH_DESCENT" in os.environ:
+        knobs["descent"] = os.environ["BENCH_DESCENT"]
+    if "BENCH_DESCENT_MIN_CAP" in os.environ:
+        knobs["descent_min_cap"] = int(os.environ["BENCH_DESCENT_MIN_CAP"])
 
     from alphazero_tpu.envs import registry
     from alphazero_tpu.models import ResNetSpec

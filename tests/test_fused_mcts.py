@@ -63,10 +63,9 @@ def test_pallas_select_matches_xla_descent():
     eta = jnp.zeros((B, A))
 
     sel = mcts._select(tree, eta, cfg, max_depth, A)
+    # the tree is natively lanes-minor since the round-5 layout flip
     out = FM.pallas_select(
-        jnp.transpose(tree.stats, (0, 2, 1)),
-        jnp.transpose(tree.prior_legal, (0, 2, 1)),
-        jnp.transpose(tree.meta, (0, 2, 1)),
+        tree.stats, tree.prior_legal, tree.meta,
         eta.T, max_depth=max_depth, cpuct=cfg.cpuct,
         eps=cfg.dirichlet_eps, interpret=True)
 
@@ -81,3 +80,47 @@ def test_pallas_select_matches_xla_descent():
                                   np.asarray(out.path_nodes)[:, :d])
     np.testing.assert_array_equal(np.asarray(sel.path_actions)[:, :d],
                                   np.asarray(out.path_actions)[:, :d])
+
+
+@pytest.mark.parametrize("eps", [0.0, 0.5])
+def test_pallas_descent_search_matches_xla(eps):
+    """END-TO-END search parity of the production descent engines: the
+    full search() with descent="pallas" (the TPU default since the
+    round-5 layout flip; interpret mode here) must be bit-identical to
+    descent="xla" — same visit counts, q-values, and final slabs."""
+    roots = make_jax_roots([PyTTT(), PyTTT().step(4).step(0),
+                            PyTTT().step(0).step(3).step(1).step(4).step(2),
+                            PyTTT().step(8)])
+    base = dict(num_sims=32, cpuct=1.25, dirichlet_eps=eps, stages=1)
+    cx = mcts.MCTSConfig(**base, descent="xla")
+    cp = mcts.MCTSConfig(**base, descent="pallas")
+    rx = jax.jit(lambda r, k: mcts.search(
+        TTT, exact_oracle_jax, r, k, cx))(roots, jax.random.key(5))
+    rp = jax.jit(lambda r, k: mcts.search(
+        TTT, exact_oracle_jax, r, k, cp))(roots, jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(rx.root_visits),
+                                  np.asarray(rp.root_visits))
+    np.testing.assert_allclose(np.asarray(rx.root_q),
+                               np.asarray(rp.root_q), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rx.tree.stats),
+                                  np.asarray(rp.tree.stats))
+    assert int(rx.nodes_traversed) == int(rp.nodes_traversed)
+
+
+def test_pallas_descent_depth_cap_matches_xla():
+    """Depth-capped searches (the flagship self-play config uses
+    max_depth=16) must agree between engines, including the capped-lane
+    leaf-value bootstrap."""
+    roots = make_jax_roots([PyTTT(), PyTTT().step(4)])
+    base = dict(num_sims=48, cpuct=1.0, dirichlet_eps=0.0, stages=1,
+                max_depth=3)
+    cx = mcts.MCTSConfig(**base, descent="xla")
+    cp = mcts.MCTSConfig(**base, descent="pallas")
+    rx = jax.jit(lambda r, k: mcts.search(
+        TTT, exact_oracle_jax, r, k, cx))(roots, jax.random.key(11))
+    rp = jax.jit(lambda r, k: mcts.search(
+        TTT, exact_oracle_jax, r, k, cp))(roots, jax.random.key(11))
+    np.testing.assert_array_equal(np.asarray(rx.root_visits),
+                                  np.asarray(rp.root_visits))
+    np.testing.assert_array_equal(np.asarray(rx.tree.stats),
+                                  np.asarray(rp.tree.stats))

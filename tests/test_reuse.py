@@ -41,8 +41,9 @@ def _first_step(num_sims=150, cap=64):
 def test_advance_root_carries_child_stats():
     (res, a, car, valid, s2), _ = _first_step()
     assert np.asarray(valid).all()
-    old = np.asarray(res.tree.stats)
-    new = np.asarray(car.stats)
+    # slabs are lanes-minor since the round-5 flip; view lane-major here
+    old = np.transpose(np.asarray(res.tree.stats), (0, 2, 1))
+    new = np.transpose(np.asarray(car.stats), (0, 2, 1))
     child = old[0, np.arange(4), 2 * AP + np.asarray(a)].astype(int) - 1
     for b in range(4):
         # new root == old played child, stats preserved verbatim
@@ -64,7 +65,7 @@ def test_warm_start_continues_visit_budget():
     res2 = jax.jit(lambda s, c, v, k: mcts.search(
         C4, mcts.random_oracle(C4), s, k, cfg, carried=(c, v)))(
             s2, car, valid, jax.random.key(2))
-    carried_visits = np.asarray(car.stats)[0, :, AP:AP + A].sum(-1)
+    carried_visits = np.asarray(car.stats)[0, AP:AP + A, :].sum(0)
     got = np.asarray(res2.root_visits).sum(-1)
     np.testing.assert_array_equal(got, carried_visits + cfg.num_sims)
 
