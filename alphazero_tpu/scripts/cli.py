@@ -45,6 +45,12 @@ def _build_parser():
                             help="override Params.num_iters")
             sp.add_argument("--benchmark-every", type=int, default=1,
                             help="benchmark cadence in iterations")
+        if name == "play":
+            sp.add_argument(
+                "--players", default=None, metavar="WHITE,BLACK",
+                help="pair of 'human'/'agent' (default: human,agent); "
+                     "'human,human' needs no trained session — any "
+                     "pairing, like the reference's GI.interactive!")
         if name in ("train", "dummy-run"):
             sp.add_argument(
                 "--mesh", type=int, default=0, metavar="N",
@@ -126,13 +132,27 @@ def main(argv=None):
         plot_benchmark(d)
         print(f"plots regenerated under {d}/plots")
     elif args.cmd in ("play", "explore"):
+        players = None
+        if args.cmd == "play" and args.players:
+            players = tuple(args.players.split(","))
+            if (len(players) != 2
+                    or any(p not in ("human", "agent") for p in players)):
+                raise SystemExit(
+                    f"--players must be two of human/agent, got "
+                    f"{args.players}")
+        if players == ("human", "human"):
+            # no trained session needed for two humans
+            from ..session.explorer import interactive_play
+            interactive_play(exp.game, players=players)
+            return
         session = Session(exp, dir=args.dir, quiet=True)
         env = session.env
         if args.cmd == "play":
             from ..session.explorer import interactive_play
             mp = (env.params.arena.mcts if env.params.arena
                   else env.params.self_play.mcts)
-            interactive_play(exp.game, exp.netspec, env.bestnn, mp)
+            interactive_play(exp.game, exp.netspec, env.bestnn, mp,
+                             players=players)
         else:
             from ..session.explorer import Explorer
             mp = (env.params.arena.mcts if env.params.arena

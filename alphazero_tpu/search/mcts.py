@@ -143,18 +143,23 @@ class MCTSConfig:
     gather: str = "onehot"
     # Descent engine: "pallas" = the fused Mosaic kernel
     # (ops/fused_mcts.pallas_select) walking the whole descent in one
-    # launch over VMEM-staged lanes-minor slabs — ONE slab pass per sim vs
-    # the XLA loop's pass per STEP (on-chip at flagship N=601/B=1024:
-    # 0.69 ms vs 1.97 ms per descent, bit-exact; scripts/profile_select).
-    # "xla" = the while-loop `_select`.  None (default) = pallas on TPU
-    # for plain PUCT (no selection hooks), xla otherwise/elsewhere.
+    # launch over VMEM-staged lanes-minor slabs.  Round-5 close-out of the
+    # rounds-2..4 carry: the kernel is bit-exact on chip and 2.85x faster
+    # than the XLA `_select` on an ISOLATED full-depth descent at flagship
+    # shape (0.69 vs 1.97 ms, scripts/profile_select), but END-TO-END it
+    # loses at every configuration measured on chip (bench.py A/B:
+    # all-pallas 929 vs 1035 samples/s at stages=8; monotone recovery as
+    # fewer stages use it — 938/948/1003 at min_cap 376/451/527; at
+    # stages=1 pallas 581 vs xla 694).  In-program, each sim's kernel
+    # launch re-streams the whole staged slab right after the update wrote
+    # it (a serialized HBM round-trip XLA's loop overlaps away) and real
+    # descents early-exit far shallower than the isolated measurement.
+    # None (default) = "xla".  The kernel remains a validated opt-in
+    # (engine-parity tests run both).
     descent: Optional[str] = None
-    # Stage-cap threshold for the auto/pallas engine: stages whose node
-    # slab holds fewer than this many slots keep the XLA descent.  The
-    # kernel streams the WHOLE staged slab HBM->VMEM once per sim, which
-    # loses to the XLA loop when trees are small and walks shallow (early
-    # stages) and wins when they are large and deep (late stages) — the
-    # crossover measured on-chip via BENCH_DESCENT_MIN_CAP A/B.
+    # Stage-cap threshold for the "pallas" engine: stages whose node slab
+    # holds fewer than this many slots keep the XLA descent (the kernel's
+    # full-slab stream loses hardest on small early-stage slabs).
     descent_min_cap: int = 256
 
 
@@ -823,12 +828,13 @@ def search(game: Game, oracle: Oracle, roots, rng, cfg: MCTSConfig,
         dev = jax.config.jax_default_device
         return dev.platform if dev is not None else jax.default_backend()
 
+    # default engine is the XLA loop: the kernel measured slower END-TO-END
+    # at every on-chip configuration (see MCTSConfig.descent); opt in with
+    # descent="pallas" (plain PUCT only, TPU or interpret)
     use_pallas_descent = (
         cfg.descent == "pallas"
-        or (cfg.descent is None
-            and _target_platform() == "tpu"
-            and root_action_fn is None and nonroot_scores is None
-            and not use_fused))
+        and root_action_fn is None and nonroot_scores is None
+        and not use_fused)
 
     def select(tree, i):
         """One full-batch descent: the Mosaic kernel on TPU (one staged

@@ -264,23 +264,44 @@ class Explorer:
 
 
 def interactive_play(game: Game, netspec=None, net=None, mcts_params=None,
-                     human_white=True, input_fn=input, print_fn=print):
-    """Human-vs-agent terminal play (``src/play.jl:329-379``)."""
+                     human_white=True, players=None,
+                     input_fn=input, print_fn=print):
+    """Interactive terminal play between ANY pairing of players, like the
+    reference's ``GI.interactive!`` (``src/play.jl:329-379``), which plays
+    any two players including two humans.
+
+    ``players`` is an optional ``(white, black)`` pair of ``"human"`` /
+    ``"agent"``; when omitted it defaults to the classic human-vs-agent
+    arrangement per ``human_white`` (agent-only when no net is given,
+    which also covers 1-player games driven by the agent).  Two humans
+    need no network; agent-vs-agent replays a self-play game move by
+    move.
+    """
     import jax.random as jr
+    if players is None:
+        if net is None:
+            players = ("human", "human")
+        else:
+            players = (("human", "agent") if human_white
+                       else ("agent", "human"))
+    if "agent" in players and net is None:
+        raise ValueError("an 'agent' player needs a trained network")
     state = game.init()
     rng = jr.key(0)
     explorer = None
     if net is not None:
         explorer = Explorer(game, netspec, net, mcts_params)
     turn = 0
+    labels = ("white", "black")
     while not bool(game.terminated(state)):
         print_fn(game.render(state))
-        white_to_play = int(game.to_play(state)) == 0
-        if explorer is None or white_to_play == human_white:
+        side = int(game.to_play(state))
+        if players[side] == "human":
             a = None
             while a is None:
                 try:
-                    txt = input_fn("> ")
+                    txt = input_fn(f"{labels[side]}> "
+                                   if game.two_players else "> ")
                 except (EOFError, KeyboardInterrupt):
                     return
                 a = game.parse_action(txt)
@@ -289,7 +310,7 @@ def interactive_play(game: Game, netspec=None, net=None, mcts_params=None,
         else:
             explorer.state = state
             a = explorer.agent_move()
-            print_fn(f"agent plays {game.action_string(a)}")
+            print_fn(f"agent ({labels[side]}) plays {game.action_string(a)}")
         rng, k = jr.split(rng)
         state = game.step(state, jnp.asarray(a), k)
         turn += 1

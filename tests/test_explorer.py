@@ -95,3 +95,36 @@ def test_connect_four_go_moves_notation():
     assert ex.go("4453")
     assert int(np.asarray(ex.state.board != 0).sum()) == 4
     assert not ex.go("8")  # illegal column
+
+
+def test_interactive_play_any_pairing():
+    """``interactive_play`` supports ANY player pairing like the
+    reference's ``GI.interactive!`` (``src/play.jl:357-379``): two humans
+    (no network needed), human-vs-agent, and agent-vs-agent."""
+    from alphazero_tpu.session.explorer import interactive_play
+
+    game = registry()["tictactoe"]
+    out = []
+
+    # two humans play a scripted full game (single-letter cells A..I):
+    # white takes A,B,C — the top row — and wins
+    moves = iter(["A", "D", "B", "E", "C"])
+    interactive_play(game, players=("human", "human"),
+                     input_fn=lambda prompt: next(moves),
+                     print_fn=out.append)
+    text = "\n".join(str(x) for x in out)
+    assert "White reward: 1.0" in text
+
+    # agent-vs-agent: plays a full game unattended
+    spec = SimpleNetSpec(width=16, depth_common=1)
+    net = Network(game, spec).init(jax.random.key(0))
+    out2 = []
+    interactive_play(game, spec, net, MctsParams(num_iters_per_turn=8),
+                     players=("agent", "agent"),
+                     input_fn=lambda prompt: pytest.fail("no human input"),
+                     print_fn=out2.append)
+    assert any("White reward:" in str(x) for x in out2)
+
+    # an agent seat without a net fails loudly
+    with pytest.raises(ValueError, match="trained network"):
+        interactive_play(game, players=("human", "agent"))
