@@ -27,17 +27,24 @@ def experiment(num_lanes: int = 1024) -> Experiment:
     # MctsRollouts-1000 duels.  Mancala's full-length (120-ply) playout
     # scan reproducibly faults this TPU worker at ANY lane count (round-4
     # re-bisect), so the rollout baseline here truncates playouts to the
-    # validated 42-ply envelope with a heuristic (store-difference)
-    # bootstrap — see MctsRollouts.max_playout_plies and
-    # search.mcts.rollout_oracle; a documented deviation in leaf-value
-    # estimation, not in search semantics.
+    # 42-ply envelope with a heuristic (store-difference) bootstrap — see
+    # MctsRollouts.max_playout_plies and search.mcts.rollout_oracle; a
+    # documented deviation in leaf-value estimation, not in search
+    # semantics.  Even truncated, the mancala rollout program's envelope
+    # is HALF c4's (round-5 on-chip bisect: 1000 sims x 42 plies runs at
+    # 64 lanes, crashes at 128 — the sowing step is that much bigger a
+    # program per ply), so the rollout duels run 64 lanes x 2 rounds.
     def _safe(b):
         b = dataclasses.replace(
             b, sim=b.sim.replace(flip_probability=0.0, num_games=128))
         if isinstance(b.baseline, A.MctsRollouts):
-            b = dataclasses.replace(b, baseline=dataclasses.replace(
-                b.baseline,
-                max_playout_plies=A.ROLLOUT_VALIDATED_PLIES))
+            b = dataclasses.replace(
+                b,
+                baseline=dataclasses.replace(
+                    b.baseline,
+                    max_playout_plies=A.ROLLOUT_VALIDATED_PLIES),
+                sim=b.sim.replace(num_games=128, num_lanes=64,
+                                  flip_probability=0.0))
         return b
 
     benchmark = tuple(_safe(b) for b in base.benchmark)
