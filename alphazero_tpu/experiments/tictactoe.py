@@ -2,6 +2,13 @@
 
 Mirrors ``/root/reference/games/tictactoe/params.jl`` with TPU-adapted sim
 knobs (``num_lanes`` replaces the worker/batch pair).
+
+Trained quality (sessions/tictactoe, 4 iterations): the argmax policy is
+game-theoretically optimal on 99.71% of all 4520 reachable non-terminal
+positions and never loses a 400-game duel vs minmax-depth-6 at tau 0/0.3
+(0W/400D/0L); the benchmark row's 16% NetworkOnly loss rate is exactly
+the tau=1.0 sampling protocol's floor — see ``scripts/ttt_audit.py`` and
+NOTES.md round 5.
 """
 
 from __future__ import annotations
